@@ -1,0 +1,155 @@
+"""Typed configuration for zebra_tpu.
+
+Flag names and defaults mirror the reference CLI (reference train.py:22-58) so a
+user of the reference can carry their command lines over; semantics documented
+per field. The config is a frozen dataclass usable both programmatically and via
+``Config.from_args`` (argparse CLI).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+
+@dataclass(frozen=True)
+class Config:
+    # ---- data ----
+    data: str = "wikipedia"          # dataset name (-d/--data)
+    data_dir: str = "data"           # root holding {data}/ml_{data}.csv (+ .npy)
+    bs: int = 200                    # chronological mini-batch size (--bs)
+
+    # ---- model dims (reference train.py:53-55) ----
+    node_dim: int = 100              # node embedding dim (--node_dim)
+    time_dim: int = 100              # Bochner time-encoding dim (--time_dim)
+    memory_dim: int = 100            # TGN node-memory dim (--memory_dim)
+
+    # ---- T-PPR index (reference train.py:45-48) ----
+    tppr_strategy: str = "streaming"  # 'streaming' (SANTA) | 'pruning' (temporal BFS)
+    topk: int = 10                    # entries kept per node per metric (--topk)
+    alpha_list: Sequence[float] = (0.1,)  # ensemble of termination probs α
+    beta_list: Sequence[float] = (0.9,)   # ensemble of decay factors β
+    # pruning strategy query shape (reference overloads --n_degree/--n_layer,
+    # embedding_module.py:107-108)
+    n_degree: int = 10               # pruning width (most-recent nbrs per hop)
+    n_layer: int = 2                 # pruning depth (hops)
+
+    # ---- towers ----
+    embedding_module: str = "diffusion"  # diffusion | graph_attention | graph_sum | identity | time
+    memory_updater: str = "gru"          # gru | rnn (--memory_updater)
+    message_function: str = "identity"   # identity | mlp (--message_function)
+    aggregator: str = "last"             # last | mean (--aggregator)
+    n_head: int = 2                      # attention heads (--n_head)
+    dropout: float = 0.1                 # tower dropout (diffusion tower uses 0.1
+                                         # regardless of --drop_out in the
+                                         # reference, embedding_module.py:89)
+
+    # ---- optimization (reference train.py:27-32) ----
+    n_epoch: int = 50
+    lr: float = 1e-4
+    patience: int = 5                # early-stop patience on val AP
+    drop_out: float = 0.3            # reference --drop_out (vestigial for diffusion)
+    n_runs: int = 1
+
+    # ---- determinism ----
+    enable_random: bool = False      # if False: seed 0 everywhere (reference train.py:86-88)
+    seed: int = 0
+
+    # ---- feature handling (reference train.py:51-52) ----
+    ignore_edge_feats: bool = False
+    ignore_node_feats: bool = False
+
+    # ---- checkpointing / logging ----
+    save_best: bool = False
+    checkpoint_dir: str = "saved_checkpoints"
+    log_dir: str = "log"
+
+    # ---- parallelism (new; no reference analogue, SURVEY.md §2 row 26) ----
+    n_devices: int = 0               # 0 = use all visible devices (data axis)
+    index_chunk: int = 4096          # edges per jitted index-scan chunk
+
+    # ---- filled from data at runtime ----
+    n_nodes: int = 0                 # max node id + 1 (ids are 1-based; 0 = padding)
+    n_edges: int = 0                 # max edge idx + 1 (0 = padding edge)
+    edge_dim: int = 1
+    node_feat_dim: int = 0
+
+    @property
+    def n_tppr(self) -> int:
+        return len(self.alpha_list)
+
+    @property
+    def hidden_dim(self) -> int:
+        """Link-head input width: node_dim per ensemble member plus the source
+        tower (reference tgn_model.py:102-108)."""
+        if self.embedding_module == "diffusion":
+            return self.node_dim * (self.n_tppr + 1)
+        return self.node_dim
+
+    @property
+    def message_dim(self) -> int:
+        """Raw-message width: [mem_src; mem_dst; edge_feat; time_enc]
+        (reference tgn_model.py:60-61)."""
+        return 2 * self.memory_dim + self.edge_dim + self.time_dim
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def run_name(self) -> str:
+        """Derived config string doubling as log filename (reference train.py:94-107)."""
+        name = self.data
+        if self.embedding_module == "diffusion":
+            name += f"_{self.tppr_strategy}_topk_{self.topk}"
+            name += f"_alpha_{list(self.alpha_list)}_beta_{list(self.beta_list)}"
+            if self.tppr_strategy == "pruning":
+                name += f"_width_{self.n_degree}_depth_{self.n_layer}"
+        name += f"_bs_{self.bs}_layer_{self.n_layer}_epoch_{self.n_epoch}_lr_{self.lr}"
+        if self.enable_random:
+            name += "_random_seed"
+        return name
+
+    # ------------------------------------------------------------------ CLI
+    @staticmethod
+    def arg_parser() -> argparse.ArgumentParser:
+        p = argparse.ArgumentParser("zebra_tpu training")
+        p.add_argument("-d", "--data", type=str, default="wikipedia")
+        p.add_argument("--data_dir", type=str, default="data")
+        p.add_argument("--bs", type=int, default=200)
+        p.add_argument("--n_degree", type=int, default=10)
+        p.add_argument("--n_head", type=int, default=2)
+        p.add_argument("--n_epoch", type=int, default=50)
+        p.add_argument("--n_layer", type=int, default=2)
+        p.add_argument("--lr", type=float, default=1e-4)
+        p.add_argument("--patience", type=int, default=5)
+        p.add_argument("--n_runs", type=int, default=1)
+        p.add_argument("--drop_out", type=float, default=0.3)
+        p.add_argument("--memory_updater", type=str, default="gru", choices=["gru", "rnn"])
+        p.add_argument("--embedding_module", type=str, default="diffusion")
+        p.add_argument("--message_function", type=str, default="identity", choices=["mlp", "identity"])
+        p.add_argument("--aggregator", type=str, default="last")
+        p.add_argument("--enable_random", action="store_true")
+        p.add_argument("--save_best", action="store_true")
+        p.add_argument("--tppr_strategy", type=str, default="streaming", choices=["streaming", "pruning"])
+        p.add_argument("--topk", type=int, default=10)
+        p.add_argument("--alpha_list", type=float, nargs="+", default=[0.1])
+        p.add_argument("--beta_list", type=float, nargs="+", default=[0.9])
+        p.add_argument("--ignore_edge_feats", action="store_true")
+        p.add_argument("--ignore_node_feats", action="store_true")
+        p.add_argument("--node_dim", type=int, default=100)
+        p.add_argument("--time_dim", type=int, default=100)
+        p.add_argument("--memory_dim", type=int, default=100)
+        p.add_argument("--n_devices", type=int, default=0)
+        p.add_argument("--index_chunk", type=int, default=4096)
+        return p
+
+    @classmethod
+    def from_args(cls, argv: Optional[List[str]] = None) -> "Config":
+        ns = cls.arg_parser().parse_args(argv)
+        kw = vars(ns)
+        kw["alpha_list"] = tuple(kw["alpha_list"])
+        kw["beta_list"] = tuple(kw["beta_list"])
+        if len(kw["alpha_list"]) != len(kw["beta_list"]):
+            raise ValueError("alpha_list and beta_list must have equal length")
+        return cls(**kw)

@@ -1,0 +1,35 @@
+"""Negative edge sampling.
+
+Uniform over the unique source / destination node populations of the stream
+being evaluated, optionally with a fixed RandomState so val/test negatives are
+reproducible across epochs (reference utils/util.py:69-86; seeds 0-3 are wired
+in reference train.py:141-144 and asserted at eval time, evaluation.py:9-10).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+class RandEdgeSampler:
+    def __init__(self, src_list, dst_list, seed: Optional[int] = None):
+        self.seed = seed
+        self.src_list = np.unique(np.asarray(src_list))
+        self.dst_list = np.unique(np.asarray(dst_list))
+        if seed is not None:
+            self.random_state = np.random.RandomState(seed)
+
+    def sample(self, size: int) -> Tuple[np.ndarray, np.ndarray]:
+        if self.seed is None:
+            src_index = np.random.randint(0, len(self.src_list), size)
+            dst_index = np.random.randint(0, len(self.dst_list), size)
+        else:
+            src_index = self.random_state.randint(0, len(self.src_list), size)
+            dst_index = self.random_state.randint(0, len(self.dst_list), size)
+        return self.src_list[src_index], self.dst_list[dst_index]
+
+    def reset_random_state(self):
+        assert self.seed is not None
+        self.random_state = np.random.RandomState(self.seed)

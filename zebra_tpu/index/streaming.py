@@ -1,0 +1,333 @@
+"""Streaming top-k temporal personalized PageRank (T-PPR) index — dense, on-device.
+
+TPU-native re-design of the reference's per-node Numba dict index
+(reference utils/util.py:377-576, jitclass ``tppr_finder``). Instead of one
+hash map per node we keep fixed-k structure-of-arrays state per ensemble
+member, resident in device HBM:
+
+    nbr  : int32  [M, N, k]   neighbor node id of each entry (0 = empty slot)
+    eidx : int32  [M, N, k]   edge id of each entry
+    ts   : float32[M, N, k]   entry timestamp
+    w    : float32[M, N, k]   T-PPR weight (> 0 for live entries, 0 = empty)
+    norm : float32[M, N]      per-node running norm  n ← n·β + β
+
+where M = ensemble size (one (α, β) metric per member) and k = top-k capacity.
+
+The per-interaction SANTA recurrence (reference util.py:509-574) for an edge
+(s, t, τ, e) updates both endpoints symmetrically from the *pre-edge* state:
+
+    new_norm  = norm_s·β + β
+    scale_s   = norm_s/new_norm·β          # decay s's own entries
+    scale_t   = β/new_norm·(1-α)           # merge t's entries into s
+    insert (e, t, τ) with weight scale_t·α   (scale_t when α == 0)
+    truncate to top-k by weight;   norm_s ← norm_s·β + β   (t symmetric)
+
+A key observation making this branchless on TPU: at norm_s == 0 the reference
+takes a "fresh dict" branch with scale_t = 1-α (util.py:514-519) — but the
+general formulas already degenerate to exactly scale_s = 0 (row is empty
+anyway) and scale_t = β/β·(1-α) = 1-α, so no control flow is needed.
+
+Entry identity for the dedup-merge is the (eidx, nbr) pair — the reference key
+(eidx, nbr, ts) adds the edge timestamp, but ts is a function of eidx so the
+pair is a complete key. The merge of two rows is a k×k key-match, a weight
+accumulation, and a ``lax.top_k`` over the 2k+1 candidates.
+
+Updates are strictly sequential over edges (state read-before-update per edge,
+both endpoints mutated — the ordering is semantically load-bearing), expressed
+as a ``lax.scan`` whose carry is the donated state pytree; each step touches
+only two rows. Extraction (the model-facing top-k query for src/dst/neg,
+reference util.py:447-469 and :503-506) happens *before* the same edge's
+update and is a pure gather, emitted as scan outputs.
+
+Because the index evolution depends only on the edge stream — never on model
+parameters — an entire epoch of queries can be precomputed in chunked scans
+and pipelined with the dense training steps; the reference instead interleaves
+index and model work per batch on the host CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class TpprParams(NamedTuple):
+    """Static ensemble hyperparameters (one row per member). Held as plain
+    tuples so the whole object is hashable and can be a jit static arg —
+    (α, β, k) select the compiled index program."""
+
+    alpha: Tuple[float, ...]
+    beta: Tuple[float, ...]
+    k: int
+
+    @classmethod
+    def create(cls, alpha_list, beta_list, k: int) -> "TpprParams":
+        return cls(
+            alpha=tuple(float(a) for a in alpha_list),
+            beta=tuple(float(b) for b in beta_list),
+            k=int(k),
+        )
+
+    @property
+    def alpha_arr(self) -> jnp.ndarray:
+        return jnp.asarray(self.alpha, jnp.float32)
+
+    @property
+    def beta_arr(self) -> jnp.ndarray:
+        return jnp.asarray(self.beta, jnp.float32)
+
+
+class TpprState(NamedTuple):
+    nbr: jnp.ndarray   # i32 [M, N, k]
+    eidx: jnp.ndarray  # i32 [M, N, k]
+    ts: jnp.ndarray    # f32 [M, N, k]
+    w: jnp.ndarray     # f32 [M, N, k]
+    norm: jnp.ndarray  # f32 [M, N]
+
+
+class TpprQueries(NamedTuple):
+    """Extraction results, model-facing (reference streaming_topk outputs).
+
+    Leading axes vary by producer: per-edge scans emit [E, M, 3, k]; batch
+    reshaping yields [M, 3b, k] in the reference's src‖dst‖neg row layout.
+    Empty slots hold nbr 0 / eidx 0 / weight 0 and dt equal to the query
+    timestamp (the reference subtracts a zero-filled entry timestamp,
+    util.py:465)."""
+
+    nbr: jnp.ndarray
+    eidx: jnp.ndarray
+    dt: jnp.ndarray
+    w: jnp.ndarray
+
+
+def init_tppr_state(n_tppr: int, n_nodes: int, k: int) -> TpprState:
+    shape = (n_tppr, n_nodes, k)
+    return TpprState(
+        nbr=jnp.zeros(shape, jnp.int32),
+        eidx=jnp.zeros(shape, jnp.int32),
+        ts=jnp.zeros(shape, jnp.float32),
+        w=jnp.zeros(shape, jnp.float32),
+        norm=jnp.zeros((n_tppr, n_nodes), jnp.float32),
+    )
+
+
+class _Row(NamedTuple):
+    nbr: jnp.ndarray   # i32 [M, k]
+    eidx: jnp.ndarray  # i32 [M, k]
+    ts: jnp.ndarray    # f32 [M, k]
+    w: jnp.ndarray     # f32 [M, k]
+
+
+def _gather_row(state: TpprState, node) -> _Row:
+    return _Row(
+        nbr=state.nbr[:, node],
+        eidx=state.eidx[:, node],
+        ts=state.ts[:, node],
+        w=state.w[:, node],
+    )
+
+
+def _merge_rows(
+    s1: _Row,
+    norm_s1: jnp.ndarray,   # f32 [M]
+    s2: _Row,
+    s2_node,                # i32 scalar
+    e_idx,                  # i32 scalar
+    e_ts,                   # f32 scalar
+    params: TpprParams,
+) -> _Row:
+    """One direction of the SANTA update: produce s1's new top-k row.
+
+    Mirrors reference util.py:509-564 with the branchless scale formulas (see
+    module docstring). All ops batch over the ensemble axis M."""
+    alpha, beta, k = params.alpha_arr, params.beta_arr, params.k
+    m = alpha.shape[0]
+
+    new_norm = norm_s1 * beta + beta                       # [M]
+    scale_s1 = norm_s1 / new_norm * beta                   # → 0 when norm_s1 == 0
+    scale_s2 = beta / new_norm * (1.0 - alpha)             # → 1-α when norm_s1 == 0
+
+    w1 = s1.w * scale_s1[:, None]                          # [M, k]
+    w2 = s2.w * scale_s2[:, None]
+    valid1 = s1.w > 0
+    valid2 = s2.w > 0
+
+    # dedup: an s2 entry matching an s1 entry on (eidx, nbr) folds its weight
+    # into the s1 entry (reference util.py:534-538). Keys are unique within a
+    # row, so each entry has at most one match.
+    match = (
+        (s1.eidx[:, :, None] == s2.eidx[:, None, :])
+        & (s1.nbr[:, :, None] == s2.nbr[:, None, :])
+        & valid1[:, :, None]
+        & valid2[:, None, :]
+    )                                                      # [M, k, k]
+    w1 = w1 + jnp.sum(jnp.where(match, w2[:, None, :], 0.0), axis=2)
+    dup2 = jnp.any(match, axis=1)                          # [M, k]
+    w2 = jnp.where(valid2 & ~dup2, w2, 0.0)
+
+    # fresh entry (e_idx, s2_node, e_ts) — e_idx is new to the stream, so it
+    # cannot collide with any existing key (reference util.py:531, 540-541).
+    new_w = jnp.where(alpha != 0.0, scale_s2 * alpha, scale_s2)[:, None]  # [M,1]
+
+    cand_nbr = jnp.concatenate(
+        [s1.nbr, s2.nbr, jnp.full((m, 1), s2_node, jnp.int32)], axis=1
+    )
+    cand_eidx = jnp.concatenate(
+        [s1.eidx, s2.eidx, jnp.full((m, 1), e_idx, jnp.int32)], axis=1
+    )
+    cand_ts = jnp.concatenate(
+        [s1.ts, s2.ts, jnp.full((m, 1), e_ts, jnp.float32)], axis=1
+    )
+    cand_w = jnp.concatenate([w1, w2, new_w], axis=1)      # [M, 2k+1]
+
+    # Truncate to top-k with a canonical tie-break (weight desc, then eidx asc,
+    # then nbr asc). The reference's tie order is arbitrary (dict iteration +
+    # argsort, util.py:553-555); a deterministic rule keeps every
+    # implementation (scan, Pallas kernel, oracle) bit-identical.
+    neg_w, s_eidx, s_nbr, s_ts = jax.lax.sort(
+        (-cand_w, cand_eidx, cand_nbr, cand_ts), num_keys=3
+    )
+    top_w = -neg_w[:, :k]
+    live = top_w > 0
+    return _Row(
+        nbr=jnp.where(live, s_nbr[:, :k], 0),
+        eidx=jnp.where(live, s_eidx[:, :k], 0),
+        ts=jnp.where(live, s_ts[:, :k], 0.0),
+        w=jnp.where(live, top_w, 0.0),
+    )
+
+
+def _apply_edge(
+    state: TpprState, src, dst, e_ts, e_idx, params: TpprParams, valid
+) -> TpprState:
+    """Apply one interaction's SANTA update to both endpoints.
+
+    Both directions read the pre-edge state (the reference computes new_s1/new_s2
+    from old dicts and writes both afterwards, util.py:509-574). For a
+    self-loop (src == dst) the two computed rows coincide, so the double write
+    is idempotent and the norm writes produce the same value — matching the
+    reference's single-pair branch (util.py:501, 572-574)."""
+    row_s = _gather_row(state, src)
+    row_d = _gather_row(state, dst)
+    norm_s = state.norm[:, src]
+    norm_d = state.norm[:, dst]
+
+    new_s = _merge_rows(row_s, norm_s, row_d, dst, e_idx, e_ts, params)
+    new_d = _merge_rows(row_d, norm_d, row_s, src, e_idx, e_ts, params)
+
+    # padding edges (valid == False) must leave the state untouched
+    def keep(new, old):
+        return jnp.where(valid, new, old)
+
+    beta = params.beta_arr
+    new_norm_s = keep(norm_s * beta + beta, norm_s)
+    new_norm_d = keep(norm_d * beta + beta, norm_d)
+
+    return TpprState(
+        nbr=state.nbr.at[:, src].set(keep(new_s.nbr, row_s.nbr))
+                      .at[:, dst].set(keep(new_d.nbr, row_d.nbr)),
+        eidx=state.eidx.at[:, src].set(keep(new_s.eidx, row_s.eidx))
+                        .at[:, dst].set(keep(new_d.eidx, row_d.eidx)),
+        ts=state.ts.at[:, src].set(keep(new_s.ts, row_s.ts))
+                    .at[:, dst].set(keep(new_d.ts, row_d.ts)),
+        w=state.w.at[:, src].set(keep(new_s.w, row_s.w))
+                  .at[:, dst].set(keep(new_d.w, row_d.w)),
+        norm=state.norm.at[:, src].set(new_norm_s).at[:, dst].set(new_norm_d),
+    )
+
+
+def _extract(state: TpprState, nodes, t_q) -> TpprQueries:
+    """Top-k query for a vector of nodes at time t_q (pure gather; reference
+    extract_streaming_tppr, util.py:447-469). nodes i32 [Q] → fields [M, Q, k]."""
+    return TpprQueries(
+        nbr=state.nbr[:, nodes],
+        eidx=state.eidx[:, nodes],
+        dt=t_q - state.ts[:, nodes],
+        w=state.w[:, nodes],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("params",), donate_argnames=("state",))
+def streaming_scan(
+    state: TpprState,
+    params: TpprParams,
+    src: jnp.ndarray,    # i32 [E]
+    dst: jnp.ndarray,    # i32 [E]
+    neg: jnp.ndarray,    # i32 [E]
+    e_ts: jnp.ndarray,   # f32 [E]
+    e_idx: jnp.ndarray,  # i32 [E]
+    valid: jnp.ndarray,  # bool [E]
+) -> Tuple[TpprState, TpprQueries]:
+    """Scan a chunk of the edge stream: per edge, extract top-k for
+    (src, dst, neg) at the edge time from the pre-edge state, then apply the
+    SANTA update (reference streaming_topk, util.py:473-576).
+
+    Returns the post-chunk state and queries with fields [E, M, 3, k]."""
+
+    def step(carry: TpprState, edge):
+        s, d, n, t, e, v = edge
+        q = _extract(carry, jnp.stack([s, d, n]), t)
+        carry = _apply_edge(carry, s, d, t, e, params, v)
+        return carry, q
+
+    return jax.lax.scan(step, state, (src, dst, neg, e_ts, e_idx, valid))
+
+
+@functools.partial(jax.jit, static_argnames=("params",), donate_argnames=("state",))
+def fill_scan(
+    state: TpprState,
+    params: TpprParams,
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    e_ts: jnp.ndarray,
+    e_idx: jnp.ndarray,
+    valid: jnp.ndarray,
+) -> TpprState:
+    """Replay a stream into the state without extraction (reference
+    compute_val_tppr, util.py:787-873)."""
+
+    def step(carry: TpprState, edge):
+        s, d, t, e, v = edge
+        return _apply_edge(carry, s, d, t, e, params, v), None
+
+    state, _ = jax.lax.scan(step, state, (src, dst, e_ts, e_idx, valid))
+    return state
+
+
+def run_stream(
+    state: TpprState,
+    params: TpprParams,
+    src,
+    dst,
+    neg,
+    e_ts,
+    e_idx,
+    chunk: int = 4096,
+) -> Tuple[TpprState, TpprQueries]:
+    """Host-side convenience: run ``streaming_scan`` over a whole stream in
+    fixed-size chunks (one compile), concatenating query outputs on host.
+
+    Intended for tests and small runs; the training loop drives the chunked
+    scans itself to pipeline them with model steps."""
+    src = np.asarray(src, np.int32)
+    dst = np.asarray(dst, np.int32)
+    neg = np.asarray(neg, np.int32)
+    e_ts = np.asarray(e_ts, np.float32)
+    e_idx = np.asarray(e_idx, np.int32)
+    n = len(src)
+    outs = []
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        pad = chunk - (hi - lo)
+        sl = lambda a, fill=0: np.concatenate([a[lo:hi], np.full(pad, fill, a.dtype)])
+        valid = np.concatenate([np.ones(hi - lo, bool), np.zeros(pad, bool)])
+        state, q = streaming_scan(
+            state, params, sl(src), sl(dst), sl(neg), sl(e_ts), sl(e_idx), valid
+        )
+        outs.append(jax.tree.map(lambda x: np.asarray(x[: hi - lo]), q))
+    queries = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outs)
+    return state, queries
