@@ -1,0 +1,100 @@
+"""End-to-end training on a small synthetic stream: losses decrease, AP beats
+chance, the val/test protocol runs with bit-exact backup/restore, and both
+index strategies drive the same loop."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from zebra_tpu.config import Config
+from zebra_tpu.data.dataset import split_data
+from zebra_tpu.data.synthetic import synthetic_stream
+from zebra_tpu.train.loop import Trainer
+
+
+def _make_trainer(strategy="streaming", edge_dim=4, n_events=1200, **cfg_kw):
+    data, edge_feats = synthetic_stream(
+        n_events=n_events, n_users=40, n_items=40, edge_dim=edge_dim, seed=0
+    )
+    splits = split_data(
+        data.sources, data.destinations, data.timestamps, data.edge_idxs, data.labels
+    )
+    kw = dict(
+        data="synthetic",
+        bs=50,
+        index_chunk=200,
+        node_dim=16,
+        time_dim=16,
+        memory_dim=16,
+        topk=5,
+        alpha_list=(0.1,),
+        beta_list=(0.9,),
+        tppr_strategy=strategy,
+        n_degree=5,
+        n_layer=2,
+        lr=3e-3,
+        n_epoch=2,
+        checkpoint_dir="/tmp/zebra_test_ckpt",
+    )
+    kw.update(cfg_kw)
+    cfg = Config(**kw)
+    return Trainer(cfg, splits, edge_feats)
+
+
+@pytest.mark.parametrize("strategy", ["streaming", "pruning"])
+def test_smoke_epoch(strategy):
+    trainer = _make_trainer(strategy)
+    r1 = trainer.train_epoch()
+    r2 = trainer.train_epoch()
+    assert np.isfinite(r1.loss) and np.isfinite(r2.loss)
+    assert r2.loss < r1.loss, (r1.loss, r2.loss)
+    assert r2.ap > 0.55, r2.ap  # well above the 0.5 chance level
+
+    trans, induct = trainer.validate()
+    assert 0.0 < trans.ap <= 1.0 and 0.0 < induct.ap <= 1.0
+    t_trans, t_induct = trainer.test()
+    assert 0.0 < t_trans.ap <= 1.0 and 0.0 < t_induct.ap <= 1.0
+
+
+def test_fit_runs_and_improves():
+    trainer = _make_trainer("streaming")
+    out = trainer.fit(n_epoch=3)
+    assert out["test_ap"] > 0.6, out
+
+
+def test_validation_restore_is_exact():
+    """After validate(), (mem, index) must be exactly the transductive
+    val-end state: rerunning validate from retained train-end state twice
+    gives identical metrics (deterministic eval, seeded sampler)."""
+    trainer = _make_trainer("streaming")
+    trainer.train_epoch()
+
+    import copy
+
+    mem_before = jax.tree.map(np.asarray, trainer.mem)
+    idx_before = jax.tree.map(np.asarray, trainer.index_state)
+
+    trans1, induct1 = trainer.validate()
+    mem_after1 = jax.tree.map(np.asarray, trainer.mem)
+
+    # restore train-end state and re-validate: results must be identical
+    import jax.numpy as jnp
+
+    trainer.mem = jax.tree.map(jnp.asarray, mem_before)
+    trainer.index_state = type(trainer.index_state)(
+        *(jnp.asarray(x) for x in idx_before)
+    )
+    trans2, induct2 = trainer.validate()
+    mem_after2 = jax.tree.map(np.asarray, trainer.mem)
+
+    assert trans1.ap == trans2.ap and induct1.ap == induct2.ap
+    for a, b in zip(jax.tree.leaves(mem_after1), jax.tree.leaves(mem_after2)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_no_edge_features_path():
+    trainer = _make_trainer("streaming", edge_dim=0)
+    assert trainer.cfg.edge_dim == 1  # zero placeholder column
+    r = trainer.train_epoch()
+    assert np.isfinite(r.loss)

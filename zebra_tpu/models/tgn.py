@@ -1,0 +1,128 @@
+"""TGN model stack: parameter initialization and the pure forward functions.
+
+Components (reference model/tgn_model.py:14-233, modules/embedding_module.py:76-331):
+
+- diffusion embedding tower: shared-across-ensemble neighbor MLP
+  fc2(drop(relu(fc1([mem_nbr; edge_feat; time_enc(Δt)])))) with
+  weight-normalized top-k sum, plus a source MLP on the query node's memory;
+  member outputs concatenate to [·, node_dim·(M+1)].
+- GRU/RNN memory-updater cell (message_dim → memory_dim).
+- MergeLayer link head scoring concat(src‖src) against concat(dst‖neg).
+
+Weight init mirrors the reference: Xavier-normal tower/head weights
+(embedding_module.py:90-98, util.py:20-21), torch-Linear-default uniform
+biases, U(-1/√H) cell params."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from zebra_tpu.config import Config
+from zebra_tpu.models.cells import CELLS
+from zebra_tpu.models.time_encoding import time_basis, time_encode
+
+TgnParams = Dict[str, Any]
+
+
+# ------------------------------------------------------------------ init
+
+def _linear_init(rng, d_in: int, d_out: int, xavier: bool = True):
+    k_w, k_b = jax.random.split(rng)
+    if xavier:
+        std = jnp.sqrt(2.0 / (d_in + d_out))
+        w = jax.random.normal(k_w, (d_in, d_out), jnp.float32) * std
+    else:
+        bound = 1.0 / jnp.sqrt(d_in)
+        w = jax.random.uniform(k_w, (d_in, d_out), jnp.float32, -bound, bound)
+    bound = 1.0 / jnp.sqrt(d_in)
+    b = jax.random.uniform(k_b, (d_out,), jnp.float32, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def _linear(p, x):
+    return x @ p["w"] + p["b"]
+
+
+def init_tgn_params(rng, cfg: Config) -> TgnParams:
+    assert cfg.node_dim == cfg.memory_dim, (
+        "the diffusion tower feeds memory rows into node_dim-wide MLPs "
+        "(reference embedding_module.py:94, 245)"
+    )
+    d = cfg.node_dim
+    nbr_in = d + cfg.time_dim + cfg.edge_dim
+    h = cfg.hidden_dim
+    ks = jax.random.split(rng, 8)
+    cell_init, _ = CELLS[cfg.memory_updater]
+    return {
+        "fc1": _linear_init(ks[0], nbr_in, d),
+        "fc2": _linear_init(ks[1], d, d),
+        "fc1_src": _linear_init(ks[2], d, d),
+        "fc2_src": _linear_init(ks[3], d, d),
+        "affinity_fc1": _linear_init(ks[4], 2 * h, h),
+        "affinity_fc2": _linear_init(ks[5], h, 1),
+        "cell": cell_init(ks[6], cfg.message_dim, cfg.memory_dim),
+    }
+
+
+# ------------------------------------------------------------------ applies
+
+def _mlp2(p1, p2, x, dropout_rng, dropout: float, train: bool):
+    """fc2(drop(relu(fc1(x)))) — both diffusion transforms
+    (reference embedding_module.py:320-328)."""
+    hidden = jax.nn.relu(_linear(p1, x))
+    if train and dropout > 0.0:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout, hidden.shape)
+        hidden = jnp.where(keep, hidden / (1.0 - dropout), 0.0)
+    return _linear(p2, hidden)
+
+
+def cell_apply(cfg: Config, params: TgnParams, msgs, mem):
+    _, apply = CELLS[cfg.memory_updater]
+    return apply(params["cell"], msgs, mem)
+
+
+def diffusion_embed(
+    cfg: Config,
+    params: TgnParams,
+    src_mem: jnp.ndarray,     # f32 [Q, d]      query nodes' (lazily updated) memory
+    nbr_mem: jnp.ndarray,     # f32 [M, Q, k, d] selected neighbors' memory
+    edge_feat: jnp.ndarray,   # f32 [M, Q, k, De]
+    dt: jnp.ndarray,          # f32 [M, Q, k]
+    w: jnp.ndarray,           # f32 [M, Q, k]   T-PPR weights (0 = empty slot)
+    dropout_rng,
+    train: bool,
+) -> jnp.ndarray:
+    """Ensemble diffusion embedding → [Q, d·(M+1)]
+    (reference compute_embedding_tppr_ensemble, embedding_module.py:242-278)."""
+    basis = time_basis(cfg.time_dim)
+    k_src, k_nbr = (
+        jax.random.split(dropout_rng) if dropout_rng is not None else (None, None)
+    )
+
+    src_emb = _mlp2(params["fc1_src"], params["fc2_src"], src_mem, k_src,
+                    cfg.dropout, train)
+
+    te = time_encode(dt, basis)                              # [M, Q, k, Dt]
+    nbr_in = jnp.concatenate([nbr_mem, edge_feat, te], axis=-1)
+    nbr_emb = _mlp2(params["fc1"], params["fc2"], nbr_in, k_nbr,
+                    cfg.dropout, train)                      # [M, Q, k, d]
+
+    # weight-normalize with the zero-sum guard (embedding_module.py:268-271)
+    w_sum = jnp.sum(w, axis=-1, keepdims=True)               # [M, Q, 1]
+    w_n = jnp.where(w_sum > 0, w / jnp.where(w_sum > 0, w_sum, 1.0), 0.0)
+    agg = jnp.sum(nbr_emb * w_n[..., None], axis=2)          # [M, Q, d]
+
+    m = agg.shape[0]
+    parts = [src_emb] + [agg[i] for i in range(m)]
+    return jnp.concatenate(parts, axis=-1)                   # [Q, d·(M+1)]
+
+
+def affinity_score(params: TgnParams, e1: jnp.ndarray, e2: jnp.ndarray) -> jnp.ndarray:
+    """MergeLayer link head → logits [B] (reference util.py:14-26; sigmoid is
+    applied by the caller / folded into the loss)."""
+    x = jnp.concatenate([e1, e2], axis=-1)
+    hidden = jax.nn.relu(_linear(params["affinity_fc1"], x))
+    return _linear(params["affinity_fc2"], hidden)[..., 0]

@@ -1,0 +1,361 @@
+"""Jitted training / evaluation steps over chunks of the event stream.
+
+A *chunk* is ``n_b`` consecutive chronological mini-batches of ``b`` events
+with their precomputed T-PPR queries (from ``zebra_tpu.index``); the chunk is
+processed as a ``lax.scan`` over batches inside one jit, so an epoch costs a
+handful of host dispatches regardless of dataset size.
+
+Semantics replicated from the reference per-batch protocol
+(reference model/tgn_model.py:124-174, SURVEY.md §3.1/§3.3):
+
+TRAIN batch (one-batch message staleness — avoids label leakage):
+  1. differentiable forward with *lazy* memory: neighbor/query rows with a
+     pending message are passed through the updater cell on the fly, without
+     committing (reference memory_updater.py:61-90). Query (src/dst/neg) rows
+     are lazily updated only when the node also appears in the selected
+     neighbor set — the reference's ``index`` argument
+     (embedding_module.py:228-230).
+  2. BCE(pos,1)+BCE(neg,0) on the MergeLayer logits; Adam step.
+  3. no-grad: commit pending messages of this batch's positives
+     (update_memory, memory_updater.py:29-43), clear their flags, then store
+     this batch's raw messages — both directions, last-per-sender wins —
+     composed from the *post-commit* memory (tgn_model.py:156-168).
+
+EVAL batch (no staleness): no lazy update, raw memory everywhere; store this
+batch's messages first (from *pre-commit* memory), then immediately commit
+(tgn_model.py:159-172). A one-time flush of all pending messages runs at the
+train→eval transition (``flush_pending_messages``; memory_updater.py:46-57).
+
+The lazy update is evaluated per query position instead of per unique node —
+the cell is deterministic in (message, memory), so duplicated nodes compute
+identical rows and no host-side ``unique`` is needed; it becomes one
+MXU-friendly batched cell application over [M·3b·k] rows.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from zebra_tpu.config import Config
+from zebra_tpu.index.streaming import TpprQueries
+from zebra_tpu.models.memory import MemoryState
+from zebra_tpu.models.tgn import (
+    TgnParams,
+    affinity_score,
+    cell_apply,
+    diffusion_embed,
+)
+from zebra_tpu.models.time_encoding import time_basis, time_encode
+from zebra_tpu.ops.metrics import masked_ap, masked_auc, masked_rank_acc
+
+
+class Batch(NamedTuple):
+    """One chunk of the stream, batched: leading axes [n_b, b]."""
+
+    src: jnp.ndarray    # i32
+    dst: jnp.ndarray    # i32
+    neg: jnp.ndarray    # i32
+    t: jnp.ndarray      # f32
+    eidx: jnp.ndarray   # i32
+    valid: jnp.ndarray  # bool
+
+
+class StepMetrics(NamedTuple):
+    loss: jnp.ndarray
+    ap: jnp.ndarray
+    auc: jnp.ndarray
+    acc: jnp.ndarray
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    return optax.adam(cfg.lr)
+
+
+# ------------------------------------------------------------------ forward
+
+def _lazy_rows(cfg: Config, params: TgnParams, mem: MemoryState, ids, enable):
+    """Gather memory rows for ``ids`` with the lazy differentiable cell update
+    applied where a message is pending (and ``enable`` holds)."""
+    rows = mem.memory[ids]
+    if enable is None:
+        return rows
+    upd = cell_apply(cfg, params, mem.messages[ids], rows)
+    return jnp.where((mem.msg_flag[ids] & enable)[..., None], upd, rows)
+
+
+def _forward(
+    cfg: Config,
+    params: TgnParams,
+    mem: MemoryState,
+    edge_feats: jnp.ndarray,     # f32 [E+1, De]
+    nodes3: jnp.ndarray,         # i32 [3b] src‖dst‖neg
+    q: TpprQueries,              # fields [M, 3b, k]
+    dropout_rng,
+    train: bool,
+) -> jnp.ndarray:
+    """Ensemble diffusion embeddings for the 3b query rows → [3b, H]."""
+    if train:
+        # membership of a query node in the selected-neighbor set gates its
+        # lazy update (reference embedding_module.py:228-230)
+        n_nodes = mem.memory.shape[0]
+        sel = jnp.zeros((n_nodes,), bool).at[q.nbr.reshape(-1)].set(True)
+        src_rows = _lazy_rows(cfg, params, mem, nodes3, sel[nodes3])
+        nbr_rows = _lazy_rows(cfg, params, mem, q.nbr, jnp.ones_like(q.w, bool))
+    else:
+        src_rows = mem.memory[nodes3]
+        nbr_rows = mem.memory[q.nbr]
+
+    return diffusion_embed(
+        cfg,
+        params,
+        src_rows,
+        nbr_rows,
+        edge_feats[q.eidx],
+        q.dt,
+        q.w,
+        dropout_rng,
+        train,
+    )
+
+
+def _scores(cfg, params, emb, b):
+    """Link logits: score(src‖src vs dst‖neg) → (pos_logit, neg_logit) [b]
+    (reference tgn_model.py:185-188)."""
+    e_src, e_dst, e_neg = emb[:b], emb[b : 2 * b], emb[2 * b :]
+    logits = affinity_score(
+        params,
+        jnp.concatenate([e_src, e_src], axis=0),
+        jnp.concatenate([e_dst, e_neg], axis=0),
+    )
+    return logits[:b], logits[b:]
+
+
+# ------------------------------------------------------------------ memory protocol
+
+def _commit_pending(cfg, params, mem: MemoryState, positives, valid2):
+    """update_memory + clear_messages for the batch's positives (no-grad;
+    reference memory_updater.py:29-43, memory.py:59). Duplicate positives
+    scatter identical values, so ordering is immaterial."""
+    n = mem.memory.shape[0]
+    rows = mem.memory[positives]
+    flags = mem.msg_flag[positives] & valid2
+    upd = cell_apply(cfg, params, mem.messages[positives], rows)
+    idx = jnp.where(valid2, positives, n)  # out-of-bounds → dropped
+    return mem._replace(
+        memory=mem.memory.at[idx].set(
+            jnp.where(flags[:, None], upd, rows), mode="drop"
+        ),
+        last_update=mem.last_update.at[idx].set(
+            jnp.where(flags, mem.msg_ts[positives], mem.last_update[positives]),
+            mode="drop",
+        ),
+        msg_flag=mem.msg_flag.at[idx].set(False, mode="drop"),
+    )
+
+
+def _store_messages(cfg, params, mem: MemoryState, edge_feats, src, dst, t, eidx, valid):
+    """Collect this batch's raw messages, both directions, keeping only the
+    chronologically last message per sender (reference tgn_model.py:204-226
+    with the flip/unique dedup at :206-211), and overwrite the pending slots."""
+    n = mem.memory.shape[0]
+    snd = jnp.concatenate([src, dst])
+    rcv = jnp.concatenate([dst, src])
+    t2 = jnp.concatenate([t, t])
+    e2 = jnp.concatenate([eidx, eidx])
+    valid2 = jnp.concatenate([valid, valid])
+    pos = jnp.arange(snd.shape[0], dtype=jnp.int32)
+
+    # last-wins: the largest batch position per sender is the winner
+    winner = (
+        jnp.full((n,), -1, jnp.int32)
+        .at[jnp.where(valid2, snd, n)]
+        .max(pos, mode="drop")
+    )
+    keep = valid2 & (winner[snd] == pos)
+
+    basis = time_basis(cfg.time_dim)
+    msg = jnp.concatenate(
+        [
+            mem.memory[snd],
+            mem.memory[rcv],
+            edge_feats[e2],
+            time_encode(t2 - mem.last_update[snd], basis),
+        ],
+        axis=-1,
+    )
+    idx = jnp.where(keep, snd, n)
+    return mem._replace(
+        messages=mem.messages.at[idx].set(msg, mode="drop"),
+        msg_ts=mem.msg_ts.at[idx].set(t2, mode="drop"),
+        msg_flag=mem.msg_flag.at[idx].set(True, mode="drop"),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("mem",))
+def flush_pending_messages(cfg: Config, params: TgnParams, mem: MemoryState) -> MemoryState:
+    """One-time train→eval flush of ALL pending messages (reference
+    update_memory_in_test, memory_updater.py:46-57). Dense over N rows —
+    runs a handful of times per epoch."""
+    upd = cell_apply(cfg, params, mem.messages, mem.memory)
+    f = mem.msg_flag
+    return mem._replace(
+        memory=jnp.where(f[:, None], upd, mem.memory),
+        last_update=jnp.where(f, mem.msg_ts, mem.last_update),
+        msg_flag=jnp.zeros_like(f),
+    )
+
+
+# ------------------------------------------------------------------ chunk drivers
+
+def _reshape_queries(q: TpprQueries, n_b: int, b: int) -> TpprQueries:
+    """[C, M, 3, k] → [n_b, M, 3b, k] in the reference's src‖dst‖neg layout."""
+
+    def r(x):
+        c, m, three, k = x.shape
+        return (
+            x.reshape(n_b, b, m, three, k)
+            .transpose(0, 2, 3, 1, 4)
+            .reshape(n_b, m, three * b, k)
+        )
+
+    return TpprQueries(*(r(x) for x in q))
+
+
+def _masked_mean(x, mask):
+    return jnp.sum(jnp.where(mask, x, 0.0)) / jnp.maximum(jnp.sum(mask), 1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_b"),
+    donate_argnames=("params", "opt_state", "mem"),
+)
+def train_chunk(
+    cfg: Config,
+    n_b: int,
+    params: TgnParams,
+    opt_state,
+    mem: MemoryState,
+    rng: jnp.ndarray,
+    edge_feats: jnp.ndarray,
+    batch: Batch,          # leading axes [n_b·b] (flat chunk)
+    queries: TpprQueries,  # [n_b·b, M, 3, k]
+) -> Tuple[TgnParams, Any, MemoryState, StepMetrics]:
+    """Scan `n_b` training batches: forward+backward+Adam and the train-time
+    memory protocol per batch. Returns per-batch metrics [n_b]."""
+    b = batch.src.shape[0] // n_b
+    opt = make_optimizer(cfg)
+    bat = jax.tree.map(lambda x: x.reshape(n_b, b), batch)
+    qs = _reshape_queries(queries, n_b, b)
+
+    def loss_fn(p, mem, xs, drop_rng):
+        nodes3 = jnp.concatenate([xs.src, xs.dst, xs.neg])
+        q = TpprQueries(xs.q_nbr, xs.q_eidx, xs.q_dt, xs.q_w)
+        emb = _forward(cfg, p, mem, edge_feats, nodes3, q, drop_rng, train=True)
+        pos_logit, neg_logit = _scores(cfg, p, emb, xs.src.shape[0])
+        bce_pos = optax.sigmoid_binary_cross_entropy(
+            pos_logit, jnp.ones_like(pos_logit)
+        )
+        bce_neg = optax.sigmoid_binary_cross_entropy(
+            neg_logit, jnp.zeros_like(neg_logit)
+        )
+        loss = _masked_mean(bce_pos, xs.valid) + _masked_mean(bce_neg, xs.valid)
+        return loss, (jax.nn.sigmoid(pos_logit), jax.nn.sigmoid(neg_logit))
+
+    class Xs(NamedTuple):
+        src: jnp.ndarray
+        dst: jnp.ndarray
+        neg: jnp.ndarray
+        t: jnp.ndarray
+        eidx: jnp.ndarray
+        valid: jnp.ndarray
+        q_nbr: jnp.ndarray
+        q_eidx: jnp.ndarray
+        q_dt: jnp.ndarray
+        q_w: jnp.ndarray
+
+    xs_all = Xs(bat.src, bat.dst, bat.neg, bat.t, bat.eidx, bat.valid,
+                qs.nbr, qs.eidx, qs.dt, qs.w)
+
+    def step(carry, xs: Xs):
+        params, opt_state, mem, rng = carry
+        rng, drop_rng = jax.random.split(rng)
+
+        (loss, (pos_p, neg_p)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, mem, xs, drop_rng
+        )
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        # no-grad memory protocol: commit previous messages, then store new
+        positives = jnp.concatenate([xs.src, xs.dst])
+        valid2 = jnp.concatenate([xs.valid, xs.valid])
+        mem = _commit_pending(cfg, params, mem, positives, valid2)
+        mem = _store_messages(
+            cfg, params, mem, edge_feats, xs.src, xs.dst, xs.t, xs.eidx, xs.valid
+        )
+
+        metrics = StepMetrics(
+            loss=loss,
+            ap=masked_ap(pos_p, neg_p, xs.valid),
+            auc=masked_auc(pos_p, neg_p, xs.valid),
+            acc=masked_rank_acc(pos_p, neg_p, xs.valid),
+        )
+        return (params, opt_state, mem, rng), metrics
+
+    (params, opt_state, mem, _), metrics = jax.lax.scan(
+        step, (params, opt_state, mem, rng), xs_all
+    )
+    return params, opt_state, mem, metrics
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_b"), donate_argnames=("mem",)
+)
+def eval_chunk(
+    cfg: Config,
+    n_b: int,
+    params: TgnParams,
+    mem: MemoryState,
+    edge_feats: jnp.ndarray,
+    batch: Batch,
+    queries: TpprQueries,
+) -> Tuple[MemoryState, StepMetrics]:
+    """Scan `n_b` evaluation batches (no grad, store-then-commit protocol).
+    Caller must run ``flush_pending_messages`` once at the train→eval
+    transition. Returns per-batch metrics [n_b]."""
+    b = batch.src.shape[0] // n_b
+    bat = jax.tree.map(lambda x: x.reshape(n_b, b), batch)
+    qs = _reshape_queries(queries, n_b, b)
+
+    def step(mem, xs):
+        src, dst, neg, t, eidx, valid, q_nbr, q_eidx, q_dt, q_w = xs
+        nodes3 = jnp.concatenate([src, dst, neg])
+        q = TpprQueries(q_nbr, q_eidx, q_dt, q_w)
+        emb = _forward(cfg, params, mem, edge_feats, nodes3, q, None, train=False)
+        pos_logit, neg_logit = _scores(cfg, params, emb, src.shape[0])
+        pos_p, neg_p = jax.nn.sigmoid(pos_logit), jax.nn.sigmoid(neg_logit)
+
+        # eval protocol: store this batch's messages from pre-commit memory,
+        # then commit them immediately (reference tgn_model.py:159-172)
+        mem = _store_messages(cfg, params, mem, edge_feats, src, dst, t, eidx, valid)
+        positives = jnp.concatenate([src, dst])
+        valid2 = jnp.concatenate([valid, valid])
+        mem = _commit_pending(cfg, params, mem, positives, valid2)
+
+        metrics = StepMetrics(
+            loss=jnp.zeros(()),
+            ap=masked_ap(pos_p, neg_p, valid),
+            auc=masked_auc(pos_p, neg_p, valid),
+            acc=masked_rank_acc(pos_p, neg_p, valid),
+        )
+        return mem, metrics
+
+    xs_all = (bat.src, bat.dst, bat.neg, bat.t, bat.eidx, bat.valid,
+              qs.nbr, qs.eidx, qs.dt, qs.w)
+    return jax.lax.scan(step, mem, xs_all)
