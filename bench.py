@@ -1,0 +1,81 @@
+"""Benchmark: training throughput in events/s on one chip.
+
+Workload mirrors the reference's headline Zebra configuration (BASELINE.md):
+ensemble of two (α, β) T-PPR metrics, top-20, bs=200, 100-dim
+memory/time/node towers, 172-dim edge features — on a synthetic heavy-tail
+stream (no datasets ship with the container). Measures the full training
+pipeline: streaming index scan + jitted train chunks (forward, backward,
+Adam, memory protocol, on-device metrics).
+
+Baseline: ≈10k events/s — the reference's Wiki-Talk rate on one RTX 2080 Ti +
+host-CPU Numba index (BASELINE.md, derived row).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_EVENTS_PER_S = 10_000.0
+
+
+def main():
+    import jax
+
+    from zebra_tpu.config import Config
+    from zebra_tpu.data.dataset import split_data
+    from zebra_tpu.data.synthetic import synthetic_stream
+    from zebra_tpu.train.loop import Trainer
+
+    n_events = 120_000
+    data, edge_feats = synthetic_stream(
+        n_events=n_events, n_users=20_000, n_items=20_000, edge_dim=172, seed=0
+    )
+    splits = split_data(
+        data.sources, data.destinations, data.timestamps, data.edge_idxs,
+        data.labels,
+    )
+    cfg = Config(
+        data="bench",
+        bs=200,
+        index_chunk=6400,
+        node_dim=100,
+        time_dim=100,
+        memory_dim=100,
+        topk=20,
+        alpha_list=(0.1, 0.1),
+        beta_list=(0.05, 0.95),
+        tppr_strategy="streaming",
+        checkpoint_dir="/tmp/zebra_bench_ckpt",
+    )
+    trainer = Trainer(cfg, splits, edge_feats)
+
+    # warmup epoch: compiles the index scan + train chunk
+    trainer.train_epoch()
+
+    t0 = time.time()
+    result = trainer.train_epoch()
+    jax.block_until_ready(trainer.params)
+    dt = time.time() - t0
+
+    n_train = trainer.splits.train.n_interactions
+    events_per_s = n_train / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_events_per_s",
+                "value": round(events_per_s, 1),
+                "unit": "events/s",
+                "vs_baseline": round(events_per_s / BASELINE_EVENTS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,58 @@
+"""CLI training driver — the zebra_tpu equivalent of the reference's
+``python train.py -d wikipedia --tppr_strategy streaming --alpha_list 0.1
+--beta_list 0.9`` entry point (reference train.py).
+
+Expects preprocessed data under ``{data_dir}/{name}/ml_{name}.csv`` (see
+``python -m zebra_tpu.data.preprocess``)."""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+from zebra_tpu.config import Config
+from zebra_tpu.data.dataset import get_data, load_feat
+from zebra_tpu.train.loop import Trainer
+
+
+def setup_logging(cfg: Config) -> logging.Logger:
+    logger = logging.getLogger("zebra_tpu")
+    logger.setLevel(logging.DEBUG)
+    os.makedirs(os.path.join(cfg.log_dir, cfg.data), exist_ok=True)
+    fh = logging.FileHandler(os.path.join(cfg.log_dir, cfg.data, cfg.run_name()))
+    fh.setLevel(logging.DEBUG)
+    ch = logging.StreamHandler()
+    ch.setLevel(logging.INFO)
+    fmt = logging.Formatter("%(asctime)s - %(name)s - %(levelname)s - %(message)s")
+    fh.setFormatter(fmt)
+    ch.setFormatter(fmt)
+    logger.addHandler(fh)
+    logger.addHandler(ch)
+    return logger
+
+
+def main(argv=None):
+    cfg = Config.from_args(argv)
+    logger = setup_logging(cfg)
+    logger.info(cfg)
+
+    splits = get_data(cfg.data, cfg.data_dir)
+    node_feats, edge_feats = load_feat(cfg.data, cfg.data_dir)
+    if cfg.ignore_node_feats:
+        node_feats = None
+
+    for run in range(cfg.n_runs):
+        t0 = time.time()
+        trainer = Trainer(
+            cfg.replace(seed=cfg.seed + run), splits, edge_feats, node_feats
+        )
+        results = trainer.fit()
+        logger.info("run %d finished in %.1fs: %s", run, time.time() - t0, results)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""Sharding layouts for the train state and stream chunks.
+
+Layouts (axis ``data`` = the DP/state axis of the mesh):
+
+- params / optimizer state: replicated (the dense towers are ~100-dim — far
+  below the threshold where TP pays; gradients all-reduce over ``data``).
+- node memory [N, d] and T-PPR state [M, N, k]: row-sharded over nodes —
+  the graph-scaling axis (SURVEY.md §5 "long-context" note: the hard axis is
+  N, not sequence length). Gathers/scatters by node id become XLA
+  collective-backed dynamic slices.
+- batch arrays [C] and query tensors [C, M, 3, k]: sharded over the event
+  axis, so each device runs the dense towers for its slice of each batch.
+
+``jax.jit`` propagates these through the chunk scans; no code changes in the
+steps themselves."""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _put(tree: Any, mesh: Mesh, spec: P):
+    sharding = NamedSharding(mesh, spec)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_params(tree: Any, mesh: Mesh):
+    """Replicate parameters / optimizer state."""
+    return _put(tree, mesh, P())
+
+
+def shard_memory(mem, mesh: Mesh, axis: str = "data"):
+    """Row-shard the node-memory tables over the mesh."""
+    sharding_2d = NamedSharding(mesh, P(axis, None))
+    sharding_1d = NamedSharding(mesh, P(axis))
+    return type(mem)(
+        memory=jax.device_put(mem.memory, sharding_2d),
+        last_update=jax.device_put(mem.last_update, sharding_1d),
+        messages=jax.device_put(mem.messages, sharding_2d),
+        msg_ts=jax.device_put(mem.msg_ts, sharding_1d),
+        msg_flag=jax.device_put(mem.msg_flag, sharding_1d),
+    )
+
+
+def shard_index_state(state, mesh: Mesh, axis: str = "data"):
+    """Row-shard the dense T-PPR state over nodes (axis 1 of [M, N, k])."""
+    if state is None:
+        return None
+    s3 = NamedSharding(mesh, P(None, axis, None))
+    s2 = NamedSharding(mesh, P(None, axis))
+    return type(state)(
+        nbr=jax.device_put(state.nbr, s3),
+        eidx=jax.device_put(state.eidx, s3),
+        ts=jax.device_put(state.ts, s3),
+        w=jax.device_put(state.w, s3),
+        norm=jax.device_put(state.norm, s2),
+    )
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Shard the flat event axis of a chunk."""
+    return _put(batch, mesh, P(axis))
+
+
+def shard_queries(queries, mesh: Mesh, axis: str = "data"):
+    """Shard query tensors [C, M, 3, k] over the event axis."""
+    return _put(queries, mesh, P(axis, None, None, None))

@@ -84,9 +84,12 @@ class Trainer:
         edge_feats: Optional[np.ndarray] = None,
         node_feats: Optional[np.ndarray] = None,
     ):
-        # ids are 1-based with 0 as padding; +1 for the sizes
-        # (reference train.py:124-125)
-        cfg = cfg.replace(n_nodes=splits.n_nodes + 1, n_edges=splits.n_edges + 1)
+        # ids are 1-based with 0 as padding; +1 for the sizes (reference
+        # train.py:124-125). N rounds up to a multiple of 128 so the per-node
+        # tables row-shard evenly over any mesh up to 128 devices; padding
+        # rows are never referenced by real ids.
+        n_nodes = -(-(splits.n_nodes + 1) // 128) * 128
+        cfg = cfg.replace(n_nodes=n_nodes, n_edges=splits.n_edges + 1)
         if edge_feats is None or cfg.ignore_edge_feats:
             edge_feats = np.zeros((cfg.n_edges, 1), np.float32)
         cfg = cfg.replace(edge_dim=edge_feats.shape[1])
