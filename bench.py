@@ -26,6 +26,9 @@ BASELINE_EVENTS_PER_S = 10_000.0
 def main():
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from zebra_tpu.config import Config
     from zebra_tpu.data.dataset import split_data
     from zebra_tpu.data.synthetic import synthetic_stream

@@ -1,21 +1,19 @@
-"""Multi-device sharding: the full train step must compile and run over a
+"""Multi-device sharding: the fused train phase must compile and run over a
 virtual 8-device mesh with row-sharded node state, and produce the same
 numbers as the single-device run."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
 
 from zebra_tpu.parallel import (
     make_mesh,
-    shard_batch,
     shard_index_state,
     shard_memory,
     shard_params,
-    shard_queries,
 )
+from zebra_tpu.train.phase import run_phase
 
 
 def test_dryrun_multichip():
@@ -25,25 +23,13 @@ def test_dryrun_multichip():
 
 
 def test_sharded_matches_single_device():
-    """One training chunk with sharded state == unsharded state bit-for-bit
+    """One fused training phase with sharded state == unsharded bit-for-bit
     (same program, XLA inserts collectives)."""
     import __graft_entry__ as g
 
-    from zebra_tpu.index.streaming import streaming_scan
-    from zebra_tpu.train.step import Batch, train_chunk
-
     trainer = g._toy_setup()
     cfg = trainer.cfg
-
-    tr = trainer.splits.train
-    n = trainer.chunk
-    rng_np = np.random.RandomState(0)
-    src = tr.sources[:n].astype(np.int32)
-    dst = tr.destinations[:n].astype(np.int32)
-    neg = rng_np.randint(1, cfg.n_nodes, n).astype(np.int32)
-    t = tr.timestamps[:n].astype(np.float32)
-    eidx = tr.edge_idxs[:n].astype(np.int32)
-    valid = np.ones(n, bool)
+    stream, n_batches = trainer._streams["train"]
 
     def run(shard: bool):
         params = jax.tree.map(jnp.copy, trainer.params)
@@ -56,20 +42,10 @@ def test_sharded_matches_single_device():
             opt_state = shard_params(opt_state, mesh)
             mem = shard_memory(mem, mesh)
             index_state = shard_index_state(index_state, mesh)
-        index_state, queries = streaming_scan(
-            index_state, trainer.tppr_params, src, dst, neg, t, eidx, valid
-        )
-        batch = Batch(
-            src=jnp.asarray(src), dst=jnp.asarray(dst), neg=jnp.asarray(neg),
-            t=jnp.asarray(t), eidx=jnp.asarray(eidx), valid=jnp.asarray(valid),
-        )
-        if shard:
-            batch = shard_batch(batch, mesh)
-            queries = shard_queries(queries, mesh)
         rng = jax.random.PRNGKey(0)
-        params, _, mem, metrics = train_chunk(
-            cfg, trainer.n_b, params, opt_state, mem, rng,
-            trainer.edge_feats, batch, queries,
+        params, opt_state, mem, index_state, metrics = run_phase(
+            cfg, True, n_batches, params, opt_state, mem, index_state, rng,
+            trainer.edge_feats, (), stream, trainer._pools["train"],
         )
         return (
             jax.tree.map(np.asarray, params),

@@ -6,7 +6,7 @@ from zebra_tpu.index.streaming import (
     fill_scan,
 )
 from zebra_tpu.index.neighbor_finder import NeighborIndex, build_neighbor_index
-from zebra_tpu.index.pruning import pruned_topk
+from zebra_tpu.index.pruning import pruned_topk, pruned_topk_impl
 
 __all__ = [
     "TpprState",
@@ -17,4 +17,5 @@ __all__ = [
     "NeighborIndex",
     "build_neighbor_index",
     "pruned_topk",
+    "pruned_topk_impl",
 ]

@@ -30,10 +30,7 @@ from zebra_tpu.index.neighbor_finder import NeighborIndex, most_recent_neighbors
 from zebra_tpu.index.streaming import TpprQueries
 
 
-@functools.partial(
-    jax.jit, static_argnames=("width", "depth", "k")
-)
-def pruned_topk(
+def pruned_topk_impl(
     index: NeighborIndex,
     alpha: jnp.ndarray,    # f32 [M]
     beta: jnp.ndarray,     # f32 [M]
@@ -43,7 +40,8 @@ def pruned_topk(
     depth: int,
     k: int,
 ) -> TpprQueries:
-    """Top-k T-PPR estimates for each (node, t) query. Fields [M, Q, k]."""
+    """Top-k T-PPR estimates for each (node, t) query. Fields [M, Q, k].
+    Trace-level core, composable inside larger jitted programs."""
     m = alpha.shape[0]
     q = nodes.shape[0]
     one_m_alpha = (1.0 - alpha)[:, None]                   # [M, 1]
@@ -130,3 +128,8 @@ def pruned_topk(
         dt=t_q[None, :, None] - jnp.where(live, s_ts[..., :k], 0.0),
         w=jnp.where(live, top_w, 0.0),
     )
+
+
+pruned_topk = jax.jit(
+    pruned_topk_impl, static_argnames=("width", "depth", "k")
+)

@@ -18,22 +18,25 @@ validation (reference train.py:249-269):
   precedes the flush) → inductive new-node val → restore val-end state.
   Early-stop on transductive val AP; checkpoint at new best epochs.
 
-test (train.py:294-309): transductive test from val-end state of the stopping
-epoch (params/memory from the best epoch's checkpoint), then inductive test
-from the val-end state again.
+test (train.py:294-309): transductive test from the val-end state of the
+stopping epoch (params/memory from the best epoch's checkpoint), then
+inductive test from the val-end state again.
 
-The index work runs as chunked on-device scans feeding chunked train/eval
-scans — a few host dispatches per epoch; all metric computation stays on
-device (see zebra_tpu.ops.metrics).
-"""
+Every phase is ONE fused jitted program (``zebra_tpu.train.phase.run_phase``)
+— negative sampling, index, towers, optimizer, and metrics all on device;
+streams upload once at construction. Negative-sample populations mirror the
+reference's samplers (train.py:140-144): train draws from the train stream's
+destinations, val/test from the full stream's, inductive test from its own
+(and inductive val reuses the val sampler, train.py:266); eval pools use
+fixed seeds so negatives are reproducible across epochs."""
 
 from __future__ import annotations
 
 import logging
 import os
 import time
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,30 +44,20 @@ import numpy as np
 
 from zebra_tpu.config import Config
 from zebra_tpu.data.dataset import Data, DatasetSplits
-from zebra_tpu.data.sampler import RandEdgeSampler
-from zebra_tpu.index.neighbor_finder import NeighborIndex, build_neighbor_index
-from zebra_tpu.index.pruning import pruned_topk
-from zebra_tpu.index.streaming import (
-    TpprParams,
-    TpprQueries,
-    TpprState,
-    init_tppr_state,
-    streaming_scan,
-)
-from zebra_tpu.models.memory import MemoryState, init_memory
+from zebra_tpu.index.neighbor_finder import build_neighbor_index
+from zebra_tpu.index.streaming import TpprState, init_tppr_state
+from zebra_tpu.models.memory import init_memory
 from zebra_tpu.models.tgn import init_tgn_params
 from zebra_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from zebra_tpu.train.early_stopping import EarlyStopMonitor
-from zebra_tpu.train.step import (
-    Batch,
-    StepMetrics,
-    eval_chunk,
-    flush_pending_messages,
-    make_optimizer,
-    train_chunk,
-)
+from zebra_tpu.train.phase import Stream, run_phase
+from zebra_tpu.train.step import flush_pending_messages, make_optimizer
 
 logger = logging.getLogger("zebra_tpu")
+
+# eval negative-sampling seeds (reference train.py:141-144; inductive val
+# shares the val sampler, train.py:266)
+SEED_VAL, SEED_TEST, SEED_NN_TEST = 0, 2, 3
 
 
 @dataclass
@@ -97,21 +90,25 @@ class Trainer:
         self.splits = splits
         self.edge_feats = jnp.asarray(edge_feats, jnp.float32)
 
-        self.tppr_params = TpprParams.create(cfg.alpha_list, cfg.beta_list, cfg.topk)
+        # device-resident padded streams + negative pools, uploaded once
+        self._streams: Dict[str, Tuple[Stream, int]] = {}
+        for name, data in (
+            ("train", splits.train),
+            ("val", splits.val),
+            ("test", splits.test),
+            ("nn_val", splits.new_node_val),
+            ("nn_test", splits.new_node_test),
+        ):
+            self._streams[name] = self._upload_stream(data)
 
-        # chunking: index/train chunk of C events = n_b batches of bs
-        self.n_b = max(1, cfg.index_chunk // cfg.bs)
-        self.chunk = self.n_b * cfg.bs
-
-        # samplers (reference train.py:140-144; the inductive val evaluation
-        # reuses the seed-0 val sampler, train.py:266)
         tr, fu = splits.train, splits.full
-        self.train_sampler = RandEdgeSampler(tr.sources, tr.destinations)
-        self.val_sampler = RandEdgeSampler(fu.sources, fu.destinations, seed=0)
-        self.test_sampler = RandEdgeSampler(fu.sources, fu.destinations, seed=2)
-        self.nn_test_sampler = RandEdgeSampler(
-            splits.new_node_test.sources, splits.new_node_test.destinations, seed=3
-        )
+        self._pools = {
+            "train": jnp.asarray(np.unique(tr.destinations), jnp.int32),
+            "full": jnp.asarray(np.unique(fu.destinations), jnp.int32),
+            "nn_test": jnp.asarray(
+                np.unique(splits.new_node_test.destinations), jnp.int32
+            ),
+        }
 
         # pruning strategy: train-graph adjacency during training, full-graph
         # during val/test (reference train.py:191, 245)
@@ -122,6 +119,8 @@ class Trainer:
             self.full_nbr_index = build_neighbor_index(
                 fu.sources, fu.destinations, fu.timestamps, fu.edge_idxs, cfg.n_nodes
             )
+        else:
+            self.train_nbr_index = self.full_nbr_index = ()
 
         self.rng = jax.random.PRNGKey(cfg.seed)
         if not cfg.enable_random:
@@ -140,133 +139,60 @@ class Trainer:
 
     # ---------------------------------------------------------------- helpers
 
-    def _fresh_index(self) -> Optional[TpprState]:
+    def _fresh_index(self):
         if self.cfg.tppr_strategy != "streaming":
-            return None
+            return ()
         return init_tppr_state(self.cfg.n_tppr, self.cfg.n_nodes, self.cfg.topk)
 
-    def _pad_chunk(self, arrs: Dict[str, np.ndarray], lo: int, hi: int):
-        """Slice [lo, hi) of the stream padded up to the chunk size."""
-        c = self.chunk
-        pad = c - (hi - lo)
-        out = {}
-        for name, a in arrs.items():
-            sl = a[lo:hi]
-            if pad:
-                sl = np.concatenate([sl, np.zeros((pad,) + sl.shape[1:], sl.dtype)])
-            out[name] = sl
-        valid = np.zeros(c, bool)
-        valid[: hi - lo] = True
-        return out, valid
+    def _upload_stream(self, data: Data) -> Tuple[Stream, int]:
+        """Pad a chronological stream to whole batches and upload."""
+        bs = self.cfg.bs
+        n = data.n_interactions
+        n_batches = max(1, -(-n // bs))
+        pad = n_batches * bs - n
 
-    def _chunk_queries(
-        self,
-        index_state: Optional[TpprState],
-        nbr_index: Optional[NeighborIndex],
-        arrs: Dict[str, np.ndarray],
-        valid: np.ndarray,
-    ) -> Tuple[Optional[TpprState], TpprQueries]:
-        """Index queries for one chunk: streaming scan (stateful) or pruned
-        BFS (stateless against the phase's adjacency)."""
-        cfg = self.cfg
-        if cfg.tppr_strategy == "streaming":
-            index_state, queries = streaming_scan(
-                index_state,
-                self.tppr_params,
-                jnp.asarray(arrs["src"]),
-                jnp.asarray(arrs["dst"]),
-                jnp.asarray(arrs["neg"]),
-                jnp.asarray(arrs["t"], jnp.float32),
-                jnp.asarray(arrs["eidx"]),
-                jnp.asarray(valid),
-            )
-            return index_state, queries
-        # pruning: query all 3 roles at the event time
-        c = self.chunk
-        nodes = np.stack([arrs["src"], arrs["dst"], arrs["neg"]], axis=1).reshape(-1)
-        times = np.repeat(arrs["t"].astype(np.float32), 3)
-        q = pruned_topk(
-            nbr_index,
-            jnp.asarray(cfg.alpha_list, jnp.float32),
-            jnp.asarray(cfg.beta_list, jnp.float32),
-            jnp.asarray(nodes, jnp.int32),
-            jnp.asarray(times),
-            cfg.n_degree,
-            cfg.n_layer,
-            cfg.topk,
-        )  # fields [M, 3C, k] → [C, M, 3, k]
-        m = q.nbr.shape[0]
-        queries = TpprQueries(
-            *(x.reshape(m, c, 3, cfg.topk).transpose(1, 0, 2, 3) for x in q)
+        def p(a, dtype):
+            a = np.asarray(a, dtype)
+            return np.concatenate([a, np.zeros(pad, dtype)]) if pad else a
+
+        stream = Stream(
+            src=jnp.asarray(p(data.sources, np.int32)),
+            dst=jnp.asarray(p(data.destinations, np.int32)),
+            t=jnp.asarray(p(data.timestamps, np.float32)),
+            eidx=jnp.asarray(p(data.edge_idxs, np.int32)),
+            valid=jnp.asarray(
+                np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+            ),
         )
-        return index_state, queries
+        return stream, n_batches
 
     def _phase(
         self,
-        data: Data,
-        sampler: RandEdgeSampler,
+        stream_name: str,
+        pool_name: str,
         train: bool,
-        index_state: Optional[TpprState],
-        nbr_index: Optional[NeighborIndex] = None,
-    ) -> Tuple[Optional[TpprState], PhaseResult]:
-        """Run one pass (train or eval) over a chronological stream."""
-        cfg = self.cfg
+        index_state,
+        nbr_index,
+        rng,
+    ) -> Tuple[TpprState, PhaseResult]:
         t0 = time.time()
-        if sampler.seed is not None:
-            sampler.reset_random_state()  # reference evaluation.py:10
-
-        n = data.n_interactions
-        stream = {
-            "src": data.sources.astype(np.int32),
-            "dst": data.destinations.astype(np.int32),
-            "t": data.timestamps.astype(np.float32),
-            "eidx": data.edge_idxs.astype(np.int32),
-        }
-        metric_sums = np.zeros(4)  # loss, ap, auc, acc
-        n_batches = 0
-
-        for lo in range(0, n, self.chunk):
-            hi = min(lo + self.chunk, n)
-            arrs, valid = self._pad_chunk(stream, lo, hi)
-            _, negs = sampler.sample(hi - lo)
-            arrs["neg"] = np.concatenate(
-                [negs.astype(np.int32), np.zeros(self.chunk - (hi - lo), np.int32)]
-            )
-
-            index_state, queries = self._chunk_queries(
-                index_state, nbr_index, arrs, valid
-            )
-            batch = Batch(
-                src=jnp.asarray(arrs["src"]),
-                dst=jnp.asarray(arrs["dst"]),
-                neg=jnp.asarray(arrs["neg"]),
-                t=jnp.asarray(arrs["t"]),
-                eidx=jnp.asarray(arrs["eidx"]),
-                valid=jnp.asarray(valid),
-            )
-            if train:
-                self.rng, step_rng = jax.random.split(self.rng)
-                self.params, self.opt_state, self.mem, metrics = train_chunk(
-                    cfg, self.n_b, self.params, self.opt_state, self.mem,
-                    step_rng, self.edge_feats, batch, queries,
-                )
-            else:
-                self.mem, metrics = eval_chunk(
-                    cfg, self.n_b, self.params, self.mem,
-                    self.edge_feats, batch, queries,
-                )
-
-            # only batches containing real events count toward the means
-            real_batches = -(-(hi - lo) // cfg.bs)
-            ms = jax.tree.map(lambda x: np.asarray(x[:real_batches]), metrics)
-            metric_sums += [ms.loss.sum(), ms.ap.sum(), ms.auc.sum(), ms.acc.sum()]
-            n_batches += real_batches
-
-        mean = metric_sums / max(n_batches, 1)
-        return index_state, PhaseResult(
-            loss=float(mean[0]), ap=float(mean[1]), auc=float(mean[2]),
-            acc=float(mean[3]), seconds=time.time() - t0,
+        stream, n_batches = self._streams[stream_name]
+        self.params, self.opt_state, self.mem, index_state, metrics = run_phase(
+            self.cfg, train, n_batches,
+            self.params, self.opt_state, self.mem, index_state,
+            rng, self.edge_feats, nbr_index, stream, self._pools[pool_name],
         )
+        ms = jax.tree.map(np.asarray, metrics)  # syncs the phase
+        mean = [float(x.mean()) for x in (ms.loss, ms.ap, ms.auc, ms.acc)]
+        return index_state, PhaseResult(
+            loss=mean[0], ap=mean[1], auc=mean[2], acc=mean[3],
+            seconds=time.time() - t0,
+        )
+
+    def _eval_rng(self, seed: int):
+        """Evaluation negatives reset deterministically per phase (reference
+        evaluation.py:9-10)."""
+        return jax.random.PRNGKey(1_000_003 + seed)
 
     # ---------------------------------------------------------------- epochs
 
@@ -276,11 +202,9 @@ class Trainer:
         cfg = self.cfg
         self.mem = init_memory(cfg.n_nodes, cfg.memory_dim, cfg.message_dim)
         self.index_state = self._fresh_index()
-        nbr_index = (
-            self.train_nbr_index if cfg.tppr_strategy == "pruning" else None
-        )
+        self.rng, rng = jax.random.split(self.rng)
         self.index_state, result = self._phase(
-            self.splits.train, self.train_sampler, True, self.index_state, nbr_index
+            "train", "train", True, self.index_state, self.train_nbr_index, rng
         )
         return result
 
@@ -289,8 +213,6 @@ class Trainer:
         (reference train.py:249-269). Leaves (mem, index) at the val-end
         state so test can continue from it."""
         cfg = self.cfg
-        nbr_index = self.full_nbr_index if cfg.tppr_strategy == "pruning" else None
-
         train_mem = self.mem  # backup precedes the flush, like the reference
         train_idx = self.index_state
 
@@ -298,16 +220,17 @@ class Trainer:
         self.mem = flush_pending_messages(cfg, self.params, _copy(self.mem))
 
         self.index_state, trans = self._phase(
-            self.splits.val, self.val_sampler, False, _copy(train_idx), nbr_index
+            "val", "full", False, _copy(train_idx), self.full_nbr_index,
+            self._eval_rng(SEED_VAL),
         )
         val_mem, val_idx = self.mem, self.index_state
 
-        # inductive val from the (unflushed) train-end state, seed-0 sampler
-        # (reference train.py:261-266)
+        # inductive val from the (unflushed) train-end state, with the val
+        # sampler's seed (reference train.py:261-266)
         self.mem = _copy(train_mem)
         _, induct = self._phase(
-            self.splits.new_node_val, self.val_sampler, False, _copy(train_idx),
-            nbr_index,
+            "nn_val", "full", False, _copy(train_idx), self.full_nbr_index,
+            self._eval_rng(SEED_VAL),
         )
 
         self.mem, self.index_state = val_mem, val_idx
@@ -316,19 +239,18 @@ class Trainer:
     def test(self) -> Tuple[PhaseResult, PhaseResult]:
         """Transductive + inductive test from the val-end state (reference
         train.py:294-309)."""
-        cfg = self.cfg
-        nbr_index = self.full_nbr_index if cfg.tppr_strategy == "pruning" else None
         val_mem, val_idx = self.mem, self.index_state
 
-        self.mem = _copy(val_mem)  # eval_chunk donates self.mem
+        self.mem = _copy(val_mem)  # run_phase donates self.mem
         self.index_state, trans = self._phase(
-            self.splits.test, self.test_sampler, False, _copy(val_idx), nbr_index
+            "test", "full", False, _copy(val_idx), self.full_nbr_index,
+            self._eval_rng(SEED_TEST),
         )
 
         self.mem = _copy(val_mem)
         _, induct = self._phase(
-            self.splits.new_node_test, self.nn_test_sampler, False, _copy(val_idx),
-            nbr_index,
+            "nn_test", "nn_test", False, _copy(val_idx), self.full_nbr_index,
+            self._eval_rng(SEED_NN_TEST),
         )
         return trans, induct
 
@@ -358,7 +280,8 @@ class Trainer:
             if stopper.early_stop_check(trans.ap):
                 stop_epoch = epoch + 1
                 ckpt = load_checkpoint(self.checkpoint_path)
-                self.params, self.mem = ckpt["params"], ckpt["mem"]
+                self.params = jax.tree.map(jnp.asarray, ckpt["params"])
+                self.mem = jax.tree.map(jnp.asarray, ckpt["mem"])
                 break
             if epoch == stopper.best_epoch:
                 save_checkpoint(
@@ -388,8 +311,8 @@ class Trainer:
 
 
 def _copy(tree):
-    """Deep-copy a device pytree (the scans donate their inputs, so retained
-    snapshots must not alias them)."""
-    if tree is None:
-        return None
+    """Deep-copy a device pytree (the fused phases donate their state inputs,
+    so retained snapshots must not alias them)."""
+    if tree is None or tree == ():
+        return tree
     return jax.tree.map(jnp.copy, tree)

@@ -1,0 +1,183 @@
+"""Whole-phase fused execution: one jitted call per training/eval pass.
+
+The host loop in the reference dispatches per batch (index query → H2D →
+forward/backward → D2H metrics, reference train.py:195-227); on TPU every
+dispatch costs a host round trip, so here an entire phase — negative
+sampling, the sequential T-PPR index scan, the dense towers, the optimizer,
+the memory protocol, and the metrics — runs as a single ``lax.scan`` over
+batches inside one XLA program. The stream is uploaded once, negatives are
+drawn on device, and only the per-batch metric vectors come back to host.
+
+Supports both index strategies as static config: ``streaming`` runs the
+SANTA inner scan per batch (extraction-before-update per edge preserved);
+``pruning`` issues the stateless bounded-BFS query against the phase's
+neighbor index."""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from zebra_tpu.config import Config
+from zebra_tpu.index.neighbor_finder import NeighborIndex
+from zebra_tpu.index.pruning import pruned_topk_impl
+from zebra_tpu.index.streaming import (
+    TpprParams,
+    TpprQueries,
+    _apply_edge,
+    _extract,
+)
+from zebra_tpu.models.memory import MemoryState
+from zebra_tpu.train.step import (
+    StepMetrics,
+    _commit_pending,
+    _forward,
+    _masked_mean,
+    _scores,
+    _store_messages,
+    make_optimizer,
+)
+
+
+class Stream(NamedTuple):
+    """A phase's event stream, padded to n_batches·bs (leading axis flat)."""
+
+    src: jnp.ndarray    # i32 [E]
+    dst: jnp.ndarray    # i32 [E]
+    t: jnp.ndarray      # f32 [E]
+    eidx: jnp.ndarray   # i32 [E]
+    valid: jnp.ndarray  # bool [E]
+
+
+def _index_queries(cfg: Config, tppr_params: TpprParams, index_state,
+                   nbr_index, src, dst, neg, t, eidx, valid):
+    """Per-batch top-k queries [M, 3b, k] + updated index state."""
+    b = src.shape[0]
+    if cfg.tppr_strategy == "streaming":
+        def edge_step(carry, e):
+            s, d, n, tt, ei, v = e
+            q = _extract(carry, jnp.stack([s, d, n]), tt)
+            carry = _apply_edge(carry, s, d, tt, ei, tppr_params, v)
+            return carry, q
+
+        index_state, q = jax.lax.scan(
+            edge_step, index_state, (src, dst, neg, t, eidx, valid)
+        )
+        # [b, M, 3, k] → [M, 3b, k] in src‖dst‖neg row order
+        q = TpprQueries(
+            *(
+                x.transpose(1, 2, 0, 3).reshape(x.shape[1], 3 * b, x.shape[3])
+                for x in q
+            )
+        )
+        return index_state, q
+
+    nodes3 = jnp.concatenate([src, dst, neg])
+    times3 = jnp.concatenate([t, t, t])
+    q = pruned_topk_impl(
+        nbr_index,
+        jnp.asarray(cfg.alpha_list, jnp.float32),
+        jnp.asarray(cfg.beta_list, jnp.float32),
+        nodes3,
+        times3,
+        cfg.n_degree,
+        cfg.n_layer,
+        cfg.topk,
+    )
+    return index_state, q
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "train", "n_batches"),
+    donate_argnames=("params", "opt_state", "mem", "index_state"),
+)
+def run_phase(
+    cfg: Config,
+    train: bool,
+    n_batches: int,
+    params,
+    opt_state,
+    mem: MemoryState,
+    index_state,            # TpprState (streaming) or () (pruning)
+    rng: jnp.ndarray,
+    edge_feats: jnp.ndarray,
+    nbr_index,              # NeighborIndex (pruning) or () (streaming)
+    stream: Stream,         # arrays [n_batches*bs]
+    neg_pool: jnp.ndarray,  # i32 [P] negative-sample population (unique dsts)
+) -> Tuple[Any, Any, MemoryState, Any, StepMetrics]:
+    """One full pass over a stream. Returns per-batch metrics [n_batches]."""
+    b = stream.src.shape[0] // n_batches
+    tppr_params = TpprParams.create(cfg.alpha_list, cfg.beta_list, cfg.topk)
+    opt = make_optimizer(cfg)
+    xs = jax.tree.map(lambda x: x.reshape(n_batches, b), stream)
+
+    def loss_fn(p, mem, s, q, drop_rng, nodes3, valid):
+        emb = _forward(cfg, p, mem, edge_feats, nodes3, q, drop_rng, train=True)
+        pos_logit, neg_logit = _scores(cfg, p, emb, b)
+        bce_pos = optax.sigmoid_binary_cross_entropy(
+            pos_logit, jnp.ones_like(pos_logit)
+        )
+        bce_neg = optax.sigmoid_binary_cross_entropy(
+            neg_logit, jnp.zeros_like(neg_logit)
+        )
+        loss = _masked_mean(bce_pos, valid) + _masked_mean(bce_neg, valid)
+        return loss, (jax.nn.sigmoid(pos_logit), jax.nn.sigmoid(neg_logit))
+
+    def batch_body(carry, s: Stream):
+        params, opt_state, mem, index_state, rng = carry
+        rng, k_neg, k_drop = jax.random.split(rng, 3)
+
+        neg = neg_pool[
+            jax.random.randint(k_neg, (b,), 0, neg_pool.shape[0])
+        ]
+        index_state, q = _index_queries(
+            cfg, tppr_params, index_state, nbr_index,
+            s.src, s.dst, neg, s.t, s.eidx, s.valid,
+        )
+        nodes3 = jnp.concatenate([s.src, s.dst, neg])
+        positives = jnp.concatenate([s.src, s.dst])
+        valid2 = jnp.concatenate([s.valid, s.valid])
+
+        if train:
+            (loss, (pos_p, neg_p)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, mem, s, q, k_drop, nodes3, s.valid)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            # commit previous batches' messages, then store this batch's
+            # (one-batch staleness; reference tgn_model.py:155-168)
+            mem = _commit_pending(cfg, params, mem, positives, valid2)
+            mem = _store_messages(
+                cfg, params, mem, edge_feats, s.src, s.dst, s.t, s.eidx, s.valid
+            )
+        else:
+            loss = jnp.zeros(())
+            emb = _forward(cfg, params, mem, edge_feats, nodes3, q, None,
+                           train=False)
+            pos_logit, neg_logit = _scores(cfg, params, emb, b)
+            pos_p, neg_p = jax.nn.sigmoid(pos_logit), jax.nn.sigmoid(neg_logit)
+            # eval: store first, commit immediately (tgn_model.py:159-172)
+            mem = _store_messages(
+                cfg, params, mem, edge_feats, s.src, s.dst, s.t, s.eidx, s.valid
+            )
+            mem = _commit_pending(cfg, params, mem, positives, valid2)
+
+        from zebra_tpu.ops.metrics import masked_ap, masked_auc, masked_rank_acc
+
+        metrics = StepMetrics(
+            loss=loss,
+            ap=masked_ap(pos_p, neg_p, s.valid),
+            auc=masked_auc(pos_p, neg_p, s.valid),
+            acc=masked_rank_acc(pos_p, neg_p, s.valid),
+        )
+        return (params, opt_state, mem, index_state, rng), metrics
+
+    (params, opt_state, mem, index_state, _), metrics = jax.lax.scan(
+        batch_body, (params, opt_state, mem, index_state, rng), xs
+    )
+    return params, opt_state, mem, index_state, metrics

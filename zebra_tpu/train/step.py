@@ -1,9 +1,8 @@
-"""Jitted training / evaluation steps over chunks of the event stream.
+"""Per-batch building blocks of the training/evaluation step.
 
-A *chunk* is ``n_b`` consecutive chronological mini-batches of ``b`` events
-with their precomputed T-PPR queries (from ``zebra_tpu.index``); the chunk is
-processed as a ``lax.scan`` over batches inside one jit, so an epoch costs a
-handful of host dispatches regardless of dataset size.
+These compose into the whole-phase fused program in
+``zebra_tpu.train.phase`` (one jitted ``lax.scan`` over all of a stream's
+batches — see that module for the dispatch-latency rationale).
 
 Semantics replicated from the reference per-batch protocol
 (reference model/tgn_model.py:124-174, SURVEY.md §3.1/§3.3):
@@ -74,6 +73,10 @@ class StepMetrics(NamedTuple):
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     return optax.adam(cfg.lr)
+
+
+def _masked_mean(x, mask):
+    return jnp.sum(jnp.where(mask, x, 0.0)) / jnp.maximum(jnp.sum(mask), 1)
 
 
 # ------------------------------------------------------------------ forward
@@ -208,154 +211,3 @@ def flush_pending_messages(cfg: Config, params: TgnParams, mem: MemoryState) -> 
         last_update=jnp.where(f, mem.msg_ts, mem.last_update),
         msg_flag=jnp.zeros_like(f),
     )
-
-
-# ------------------------------------------------------------------ chunk drivers
-
-def _reshape_queries(q: TpprQueries, n_b: int, b: int) -> TpprQueries:
-    """[C, M, 3, k] → [n_b, M, 3b, k] in the reference's src‖dst‖neg layout."""
-
-    def r(x):
-        c, m, three, k = x.shape
-        return (
-            x.reshape(n_b, b, m, three, k)
-            .transpose(0, 2, 3, 1, 4)
-            .reshape(n_b, m, three * b, k)
-        )
-
-    return TpprQueries(*(r(x) for x in q))
-
-
-def _masked_mean(x, mask):
-    return jnp.sum(jnp.where(mask, x, 0.0)) / jnp.maximum(jnp.sum(mask), 1)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "n_b"),
-    donate_argnames=("params", "opt_state", "mem"),
-)
-def train_chunk(
-    cfg: Config,
-    n_b: int,
-    params: TgnParams,
-    opt_state,
-    mem: MemoryState,
-    rng: jnp.ndarray,
-    edge_feats: jnp.ndarray,
-    batch: Batch,          # leading axes [n_b·b] (flat chunk)
-    queries: TpprQueries,  # [n_b·b, M, 3, k]
-) -> Tuple[TgnParams, Any, MemoryState, StepMetrics]:
-    """Scan `n_b` training batches: forward+backward+Adam and the train-time
-    memory protocol per batch. Returns per-batch metrics [n_b]."""
-    b = batch.src.shape[0] // n_b
-    opt = make_optimizer(cfg)
-    bat = jax.tree.map(lambda x: x.reshape(n_b, b), batch)
-    qs = _reshape_queries(queries, n_b, b)
-
-    def loss_fn(p, mem, xs, drop_rng):
-        nodes3 = jnp.concatenate([xs.src, xs.dst, xs.neg])
-        q = TpprQueries(xs.q_nbr, xs.q_eidx, xs.q_dt, xs.q_w)
-        emb = _forward(cfg, p, mem, edge_feats, nodes3, q, drop_rng, train=True)
-        pos_logit, neg_logit = _scores(cfg, p, emb, xs.src.shape[0])
-        bce_pos = optax.sigmoid_binary_cross_entropy(
-            pos_logit, jnp.ones_like(pos_logit)
-        )
-        bce_neg = optax.sigmoid_binary_cross_entropy(
-            neg_logit, jnp.zeros_like(neg_logit)
-        )
-        loss = _masked_mean(bce_pos, xs.valid) + _masked_mean(bce_neg, xs.valid)
-        return loss, (jax.nn.sigmoid(pos_logit), jax.nn.sigmoid(neg_logit))
-
-    class Xs(NamedTuple):
-        src: jnp.ndarray
-        dst: jnp.ndarray
-        neg: jnp.ndarray
-        t: jnp.ndarray
-        eidx: jnp.ndarray
-        valid: jnp.ndarray
-        q_nbr: jnp.ndarray
-        q_eidx: jnp.ndarray
-        q_dt: jnp.ndarray
-        q_w: jnp.ndarray
-
-    xs_all = Xs(bat.src, bat.dst, bat.neg, bat.t, bat.eidx, bat.valid,
-                qs.nbr, qs.eidx, qs.dt, qs.w)
-
-    def step(carry, xs: Xs):
-        params, opt_state, mem, rng = carry
-        rng, drop_rng = jax.random.split(rng)
-
-        (loss, (pos_p, neg_p)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, mem, xs, drop_rng
-        )
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-
-        # no-grad memory protocol: commit previous messages, then store new
-        positives = jnp.concatenate([xs.src, xs.dst])
-        valid2 = jnp.concatenate([xs.valid, xs.valid])
-        mem = _commit_pending(cfg, params, mem, positives, valid2)
-        mem = _store_messages(
-            cfg, params, mem, edge_feats, xs.src, xs.dst, xs.t, xs.eidx, xs.valid
-        )
-
-        metrics = StepMetrics(
-            loss=loss,
-            ap=masked_ap(pos_p, neg_p, xs.valid),
-            auc=masked_auc(pos_p, neg_p, xs.valid),
-            acc=masked_rank_acc(pos_p, neg_p, xs.valid),
-        )
-        return (params, opt_state, mem, rng), metrics
-
-    (params, opt_state, mem, _), metrics = jax.lax.scan(
-        step, (params, opt_state, mem, rng), xs_all
-    )
-    return params, opt_state, mem, metrics
-
-
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "n_b"), donate_argnames=("mem",)
-)
-def eval_chunk(
-    cfg: Config,
-    n_b: int,
-    params: TgnParams,
-    mem: MemoryState,
-    edge_feats: jnp.ndarray,
-    batch: Batch,
-    queries: TpprQueries,
-) -> Tuple[MemoryState, StepMetrics]:
-    """Scan `n_b` evaluation batches (no grad, store-then-commit protocol).
-    Caller must run ``flush_pending_messages`` once at the train→eval
-    transition. Returns per-batch metrics [n_b]."""
-    b = batch.src.shape[0] // n_b
-    bat = jax.tree.map(lambda x: x.reshape(n_b, b), batch)
-    qs = _reshape_queries(queries, n_b, b)
-
-    def step(mem, xs):
-        src, dst, neg, t, eidx, valid, q_nbr, q_eidx, q_dt, q_w = xs
-        nodes3 = jnp.concatenate([src, dst, neg])
-        q = TpprQueries(q_nbr, q_eidx, q_dt, q_w)
-        emb = _forward(cfg, params, mem, edge_feats, nodes3, q, None, train=False)
-        pos_logit, neg_logit = _scores(cfg, params, emb, src.shape[0])
-        pos_p, neg_p = jax.nn.sigmoid(pos_logit), jax.nn.sigmoid(neg_logit)
-
-        # eval protocol: store this batch's messages from pre-commit memory,
-        # then commit them immediately (reference tgn_model.py:159-172)
-        mem = _store_messages(cfg, params, mem, edge_feats, src, dst, t, eidx, valid)
-        positives = jnp.concatenate([src, dst])
-        valid2 = jnp.concatenate([valid, valid])
-        mem = _commit_pending(cfg, params, mem, positives, valid2)
-
-        metrics = StepMetrics(
-            loss=jnp.zeros(()),
-            ap=masked_ap(pos_p, neg_p, valid),
-            auc=masked_auc(pos_p, neg_p, valid),
-            acc=masked_rank_acc(pos_p, neg_p, valid),
-        )
-        return mem, metrics
-
-    xs_all = (bat.src, bat.dst, bat.neg, bat.t, bat.eidx, bat.valid,
-              qs.nbr, qs.eidx, qs.dt, qs.w)
-    return jax.lax.scan(step, mem, xs_all)
