@@ -10,6 +10,7 @@ from zebra_tpu.index.streaming import (
     TpprParams,
     init_tppr_state,
     run_stream,
+    unpack_state,
 )
 
 
@@ -25,24 +26,31 @@ def random_stream(n_events, n_nodes, seed, self_loops=False):
     return src, dst, neg, ts, eidx
 
 
-def dense_row_dict(state, m, node, np_state=None):
+def dense_row_dict(state, m, node):
     """(eidx, nbr) → w view of one dense row."""
-    nbr = np.asarray(state.nbr[m, node])
-    eidx = np.asarray(state.eidx[m, node])
-    w = np.asarray(state.w[m, node])
-    return {(int(e), int(n)): float(x) for e, n, x in zip(eidx, nbr, w) if x > 0}
+    nbr, eidx, ts, w, norm = unpack_state(state)
+    return {
+        (int(e), int(n)): float(x)
+        for e, n, x in zip(eidx[m, node], nbr[m, node], w[m, node])
+        if x > 0
+    }
 
 
 def assert_state_matches(state, oracle, n_nodes, tol=1e-4):
+    u_nbr, u_eidx, u_ts, u_w, u_norm = unpack_state(state)
     for m in range(oracle.n_tppr):
         np.testing.assert_allclose(
-            np.asarray(state.norm[m][:n_nodes]),
+            u_norm[m][:n_nodes],
             oracle.norm[m][:n_nodes],
             rtol=tol,
             err_msg=f"norm mismatch, member {m}",
         )
         for v in range(n_nodes):
-            got = dense_row_dict(state, m, v)
+            got = {
+                (int(e), int(n)): float(x)
+                for e, n, x in zip(u_eidx[m, v], u_nbr[m, v], u_w[m, v])
+                if x > 0
+            }
             want = oracle.topk_dict(m, v)
             assert set(got) == set(want), (
                 f"entry-key mismatch member {m} node {v}: {got} vs {want}"
@@ -147,8 +155,9 @@ def test_single_edge_algebra():
     )
     assert dense_row_dict(state, 0, 1) == pytest.approx({(1, 2): (1 - alpha) * alpha})
     assert dense_row_dict(state, 0, 2) == pytest.approx({(1, 1): (1 - alpha) * alpha})
-    assert float(state.norm[0, 1]) == pytest.approx(beta)
-    assert float(state.norm[0, 2]) == pytest.approx(beta)
+    # norm layout is [N, M]
+    assert float(state.norm[1, 0]) == pytest.approx(beta)
+    assert float(state.norm[2, 0]) == pytest.approx(beta)
     assert dense_row_dict(state, 0, 3) == {}
 
 

@@ -2,16 +2,26 @@
 
 TPU-native re-design of the reference's per-node Numba dict index
 (reference utils/util.py:377-576, jitclass ``tppr_finder``). Instead of one
-hash map per node we keep fixed-k structure-of-arrays state per ensemble
-member, resident in device HBM:
+hash map per node we keep fixed-k dense state resident in device HBM, packed
+so each node's entire record is one contiguous row:
 
-    nbr  : int32  [M, N, k]   neighbor node id of each entry (0 = empty slot)
-    eidx : int32  [M, N, k]   edge id of each entry
-    ts   : float32[M, N, k]   entry timestamp
-    w    : float32[M, N, k]   T-PPR weight (> 0 for live entries, 0 = empty)
-    norm : float32[M, N]      per-node running norm  n ← n·β + β
+    data : f32 [N, M, 4, k]   per node and ensemble member, four fields:
+                              0 = weight (> 0 live, 0 empty slot)
+                              1 = neighbor node id   (as f32 value)
+                              2 = edge id            (as f32 value)
+                              3 = entry timestamp
+    norm : f32 [N, M]         per-node running norm  n ← n·β + β
 
-where M = ensemble size (one (α, β) metric per member) and k = top-k capacity.
+Ids are stored as f32 *values*, not bitcast int32: ids below 2^23 bitcast to
+denormal floats, which partitioned XLA programs may flush to zero; value
+conversion round-trips exactly for ids < 2^24 (16.7M — above the largest
+reference dataset's 7.8M edges; larger graphs need a split-row layout).
+
+where M = ensemble size (one (α, β) metric per member) and k = top-k
+capacity. The packed [N, ...] layout means the per-edge state traffic is one
+contiguous ~16·M·k-byte gather for (src, dst, neg) and one scatter for
+(src, dst) — the scan is HBM-latency-bound, so minimizing the number of
+distinct row accesses is what sets throughput.
 
 The per-interaction SANTA recurrence (reference util.py:509-574) for an edge
 (s, t, τ, e) updates both endpoints symmetrically from the *pre-edge* state:
@@ -30,29 +40,35 @@ anyway) and scale_t = β/β·(1-α) = 1-α, so no control flow is needed.
 Entry identity for the dedup-merge is the (eidx, nbr) pair — the reference key
 (eidx, nbr, ts) adds the edge timestamp, but ts is a function of eidx so the
 pair is a complete key. The merge of two rows is a k×k key-match, a weight
-accumulation, and a ``lax.top_k`` over the 2k+1 candidates.
+accumulation, and a lexicographic sort over the 2k+1 candidates with the
+canonical tie-break (weight desc, eidx asc, nbr asc — the reference's tie
+order is arbitrary dict-iteration order, util.py:553-555; a deterministic
+rule keeps scan, kernels, and the test oracle bit-identical).
 
 Updates are strictly sequential over edges (state read-before-update per edge,
 both endpoints mutated — the ordering is semantically load-bearing), expressed
-as a ``lax.scan`` whose carry is the donated state pytree; each step touches
-only two rows. Extraction (the model-facing top-k query for src/dst/neg,
-reference util.py:447-469 and :503-506) happens *before* the same edge's
-update and is a pure gather, emitted as scan outputs.
+as a ``lax.scan`` whose carry is the donated state pytree. Extraction (the
+model-facing top-k query for src/dst/neg, reference util.py:447-469 and
+:503-506) happens *before* the same edge's update, reuses the same gathered
+rows, and is emitted as scan outputs.
 
 Because the index evolution depends only on the edge stream — never on model
-parameters — an entire epoch of queries can be precomputed in chunked scans
-and pipelined with the dense training steps; the reference instead interleaves
-index and model work per batch on the host CPU.
+parameters — whole phases of queries are produced inside the fused training
+program (zebra_tpu.train.phase) with no host round trips; the reference
+instead interleaves index and model work per batch on the host CPU.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# field indices in the packed row
+_W, _NBR, _EIDX, _TS = 0, 1, 2, 3
 
 
 class TpprParams(NamedTuple):
@@ -82,11 +98,8 @@ class TpprParams(NamedTuple):
 
 
 class TpprState(NamedTuple):
-    nbr: jnp.ndarray   # i32 [M, N, k]
-    eidx: jnp.ndarray  # i32 [M, N, k]
-    ts: jnp.ndarray    # f32 [M, N, k]
-    w: jnp.ndarray     # f32 [M, N, k]
-    norm: jnp.ndarray  # f32 [M, N]
+    data: jnp.ndarray  # f32 [N, M, 4, k] packed rows (see module docstring)
+    norm: jnp.ndarray  # f32 [N, M]
 
 
 class TpprQueries(NamedTuple):
@@ -98,37 +111,62 @@ class TpprQueries(NamedTuple):
     timestamp (the reference subtracts a zero-filled entry timestamp,
     util.py:465)."""
 
-    nbr: jnp.ndarray
-    eidx: jnp.ndarray
-    dt: jnp.ndarray
-    w: jnp.ndarray
+    nbr: jnp.ndarray   # i32
+    eidx: jnp.ndarray  # i32
+    dt: jnp.ndarray    # f32
+    w: jnp.ndarray     # f32
 
 
 def init_tppr_state(n_tppr: int, n_nodes: int, k: int) -> TpprState:
-    shape = (n_tppr, n_nodes, k)
     return TpprState(
-        nbr=jnp.zeros(shape, jnp.int32),
-        eidx=jnp.zeros(shape, jnp.int32),
-        ts=jnp.zeros(shape, jnp.float32),
-        w=jnp.zeros(shape, jnp.float32),
-        norm=jnp.zeros((n_tppr, n_nodes), jnp.float32),
+        data=jnp.zeros((n_nodes, n_tppr, 4, k), jnp.float32),
+        norm=jnp.zeros((n_nodes, n_tppr), jnp.float32),
     )
+
+
+def unpack_state(state: TpprState):
+    """Test/interop view: (nbr i32 [M,N,k], eidx i32, ts f32, w f32,
+    norm f32 [M,N])."""
+    d = np.asarray(state.data)
+    w = d[:, :, _W].transpose(1, 0, 2)
+    nbr = d[:, :, _NBR].transpose(1, 0, 2).astype(np.int32)
+    eidx = d[:, :, _EIDX].transpose(1, 0, 2).astype(np.int32)
+    ts = d[:, :, _TS].transpose(1, 0, 2)
+    norm = np.asarray(state.norm).transpose(1, 0)
+    return nbr, eidx, ts, w, norm
+
+
+def _i32(x):
+    """f32-held id → int32 (exact for ids < 2^24)."""
+    return x.astype(jnp.int32)
+
+
+def _f32(x):
+    """int32 id → f32 value (exact for ids < 2^24; see module docstring)."""
+    return x.astype(jnp.float32)
 
 
 class _Row(NamedTuple):
-    nbr: jnp.ndarray   # i32 [M, k]
-    eidx: jnp.ndarray  # i32 [M, k]
-    ts: jnp.ndarray    # f32 [M, k]
-    w: jnp.ndarray     # f32 [M, k]
+    """Unpacked row fields, each [M, k]."""
+
+    nbr: jnp.ndarray   # i32
+    eidx: jnp.ndarray  # i32
+    ts: jnp.ndarray    # f32
+    w: jnp.ndarray     # f32
 
 
-def _gather_row(state: TpprState, node) -> _Row:
+def _unpack_row(packed: jnp.ndarray) -> _Row:
+    """packed [M, 4, k] → fields [M, k]."""
     return _Row(
-        nbr=state.nbr[:, node],
-        eidx=state.eidx[:, node],
-        ts=state.ts[:, node],
-        w=state.w[:, node],
+        nbr=_i32(packed[:, _NBR]),
+        eidx=_i32(packed[:, _EIDX]),
+        ts=packed[:, _TS],
+        w=packed[:, _W],
     )
+
+
+def _pack_row(row: _Row) -> jnp.ndarray:
+    return jnp.stack([row.w, _f32(row.nbr), _f32(row.eidx), row.ts], axis=1)
 
 
 def _merge_rows(
@@ -184,10 +222,7 @@ def _merge_rows(
     )
     cand_w = jnp.concatenate([w1, w2, new_w], axis=1)      # [M, 2k+1]
 
-    # Truncate to top-k with a canonical tie-break (weight desc, then eidx asc,
-    # then nbr asc). The reference's tie order is arbitrary (dict iteration +
-    # argsort, util.py:553-555); a deterministic rule keeps every
-    # implementation (scan, Pallas kernel, oracle) bit-identical.
+    # canonical top-k (weight desc, eidx asc, nbr asc)
     neg_w, s_eidx, s_nbr, s_ts = jax.lax.sort(
         (-cand_w, cand_eidx, cand_nbr, cand_ts), num_keys=3
     )
@@ -201,54 +236,44 @@ def _merge_rows(
     )
 
 
-def _apply_edge(
-    state: TpprState, src, dst, e_ts, e_idx, params: TpprParams, valid
-) -> TpprState:
-    """Apply one interaction's SANTA update to both endpoints.
+def edge_step(
+    state: TpprState, src, dst, neg, e_ts, e_idx, valid, params: TpprParams
+) -> Tuple[TpprState, TpprQueries]:
+    """Extraction for (src, dst, neg) at the edge time from the pre-edge
+    state, then the SANTA update of both endpoints — one gather, one scatter.
 
-    Both directions read the pre-edge state (the reference computes new_s1/new_s2
-    from old dicts and writes both afterwards, util.py:509-574). For a
-    self-loop (src == dst) the two computed rows coincide, so the double write
-    is idempotent and the norm writes produce the same value — matching the
-    reference's single-pair branch (util.py:501, 572-574)."""
-    row_s = _gather_row(state, src)
-    row_d = _gather_row(state, dst)
-    norm_s = state.norm[:, src]
-    norm_d = state.norm[:, dst]
+    Both update directions read the pre-edge state (the reference computes
+    new_s1/new_s2 from old dicts and writes both afterwards, util.py:509-574).
+    For a self-loop (src == dst) the two computed rows coincide, so the
+    duplicate scatter is idempotent and the norm writes produce the same
+    value — matching the reference's single-pair branch (util.py:501,
+    572-574). Padding edges (valid == False) leave the state untouched."""
+    sdn = jnp.stack([src, dst, neg])
+    rows3 = state.data[sdn]                  # [3, M, 4, k] one contiguous gather
+    norm_sd = state.norm[sdn[:2]]            # [2, M]
 
-    new_s = _merge_rows(row_s, norm_s, row_d, dst, e_idx, e_ts, params)
-    new_d = _merge_rows(row_d, norm_d, row_s, src, e_idx, e_ts, params)
+    queries = TpprQueries(
+        nbr=_i32(rows3[:, :, _NBR]).transpose(1, 0, 2),
+        eidx=_i32(rows3[:, :, _EIDX]).transpose(1, 0, 2),
+        dt=(e_ts - rows3[:, :, _TS]).transpose(1, 0, 2),
+        w=rows3[:, :, _W].transpose(1, 0, 2),
+    )                                        # fields [M, 3, k]
 
-    # padding edges (valid == False) must leave the state untouched
-    def keep(new, old):
-        return jnp.where(valid, new, old)
+    row_s = _unpack_row(rows3[0])
+    row_d = _unpack_row(rows3[1])
+    new_s = _merge_rows(row_s, norm_sd[0], row_d, dst, e_idx, e_ts, params)
+    new_d = _merge_rows(row_d, norm_sd[1], row_s, src, e_idx, e_ts, params)
 
     beta = params.beta_arr
-    new_norm_s = keep(norm_s * beta + beta, norm_s)
-    new_norm_d = keep(norm_d * beta + beta, norm_d)
+    packed_new = jnp.stack([_pack_row(new_s), _pack_row(new_d)])   # [2, M, 4, k]
+    packed_new = jnp.where(valid, packed_new, rows3[:2])
+    new_norm = jnp.where(valid, norm_sd * beta + beta, norm_sd)
 
-    return TpprState(
-        nbr=state.nbr.at[:, src].set(keep(new_s.nbr, row_s.nbr))
-                      .at[:, dst].set(keep(new_d.nbr, row_d.nbr)),
-        eidx=state.eidx.at[:, src].set(keep(new_s.eidx, row_s.eidx))
-                        .at[:, dst].set(keep(new_d.eidx, row_d.eidx)),
-        ts=state.ts.at[:, src].set(keep(new_s.ts, row_s.ts))
-                    .at[:, dst].set(keep(new_d.ts, row_d.ts)),
-        w=state.w.at[:, src].set(keep(new_s.w, row_s.w))
-                  .at[:, dst].set(keep(new_d.w, row_d.w)),
-        norm=state.norm.at[:, src].set(new_norm_s).at[:, dst].set(new_norm_d),
+    state = TpprState(
+        data=state.data.at[sdn[:2]].set(packed_new),
+        norm=state.norm.at[sdn[:2]].set(new_norm),
     )
-
-
-def _extract(state: TpprState, nodes, t_q) -> TpprQueries:
-    """Top-k query for a vector of nodes at time t_q (pure gather; reference
-    extract_streaming_tppr, util.py:447-469). nodes i32 [Q] → fields [M, Q, k]."""
-    return TpprQueries(
-        nbr=state.nbr[:, nodes],
-        eidx=state.eidx[:, nodes],
-        dt=t_q - state.ts[:, nodes],
-        w=state.w[:, nodes],
-    )
+    return state, queries
 
 
 @functools.partial(jax.jit, static_argnames=("params",), donate_argnames=("state",))
@@ -262,17 +287,13 @@ def streaming_scan(
     e_idx: jnp.ndarray,  # i32 [E]
     valid: jnp.ndarray,  # bool [E]
 ) -> Tuple[TpprState, TpprQueries]:
-    """Scan a chunk of the edge stream: per edge, extract top-k for
-    (src, dst, neg) at the edge time from the pre-edge state, then apply the
-    SANTA update (reference streaming_topk, util.py:473-576).
-
-    Returns the post-chunk state and queries with fields [E, M, 3, k]."""
+    """Scan a chunk of the edge stream (reference streaming_topk,
+    util.py:473-576). Returns the post-chunk state and queries with fields
+    [E, M, 3, k]."""
 
     def step(carry: TpprState, edge):
         s, d, n, t, e, v = edge
-        q = _extract(carry, jnp.stack([s, d, n]), t)
-        carry = _apply_edge(carry, s, d, t, e, params, v)
-        return carry, q
+        return edge_step(carry, s, d, n, t, e, v, params)
 
     return jax.lax.scan(step, state, (src, dst, neg, e_ts, e_idx, valid))
 
@@ -292,7 +313,8 @@ def fill_scan(
 
     def step(carry: TpprState, edge):
         s, d, t, e, v = edge
-        return _apply_edge(carry, s, d, t, e, params, v), None
+        carry, _ = edge_step(carry, s, d, s, t, e, v, params)
+        return carry, None
 
     state, _ = jax.lax.scan(step, state, (src, dst, e_ts, e_idx, valid))
     return state
@@ -311,8 +333,8 @@ def run_stream(
     """Host-side convenience: run ``streaming_scan`` over a whole stream in
     fixed-size chunks (one compile), concatenating query outputs on host.
 
-    Intended for tests and small runs; the training loop drives the chunked
-    scans itself to pipeline them with model steps."""
+    Intended for tests and small runs; training drives the index inside the
+    fused phase program instead."""
     src = np.asarray(src, np.int32)
     dst = np.asarray(dst, np.int32)
     neg = np.asarray(neg, np.int32)

@@ -46,16 +46,13 @@ def shard_memory(mem, mesh: Mesh, axis: str = "data"):
 
 
 def shard_index_state(state, mesh: Mesh, axis: str = "data"):
-    """Row-shard the dense T-PPR state over nodes (axis 1 of [M, N, k])."""
-    if state is None:
-        return None
-    s3 = NamedSharding(mesh, P(None, axis, None))
-    s2 = NamedSharding(mesh, P(None, axis))
+    """Row-shard the packed T-PPR state over nodes (axis 0 of [N, M, 4, k])."""
+    if state is None or state == ():
+        return state
+    s4 = NamedSharding(mesh, P(axis, None, None, None))
+    s2 = NamedSharding(mesh, P(axis, None))
     return type(state)(
-        nbr=jax.device_put(state.nbr, s3),
-        eidx=jax.device_put(state.eidx, s3),
-        ts=jax.device_put(state.ts, s3),
-        w=jax.device_put(state.w, s3),
+        data=jax.device_put(state.data, s4),
         norm=jax.device_put(state.norm, s2),
     )
 

@@ -28,8 +28,7 @@ from zebra_tpu.index.pruning import pruned_topk_impl
 from zebra_tpu.index.streaming import (
     TpprParams,
     TpprQueries,
-    _apply_edge,
-    _extract,
+    edge_step,
 )
 from zebra_tpu.models.memory import MemoryState
 from zebra_tpu.train.step import (
@@ -58,14 +57,12 @@ def _index_queries(cfg: Config, tppr_params: TpprParams, index_state,
     """Per-batch top-k queries [M, 3b, k] + updated index state."""
     b = src.shape[0]
     if cfg.tppr_strategy == "streaming":
-        def edge_step(carry, e):
+        def estep(carry, e):
             s, d, n, tt, ei, v = e
-            q = _extract(carry, jnp.stack([s, d, n]), tt)
-            carry = _apply_edge(carry, s, d, tt, ei, tppr_params, v)
-            return carry, q
+            return edge_step(carry, s, d, n, tt, ei, v, tppr_params)
 
         index_state, q = jax.lax.scan(
-            edge_step, index_state, (src, dst, neg, t, eidx, valid)
+            estep, index_state, (src, dst, neg, t, eidx, valid)
         )
         # [b, M, 3, k] → [M, 3b, k] in src‖dst‖neg row order
         q = TpprQueries(
