@@ -44,16 +44,15 @@ def reindex(df: pd.DataFrame, bipartite: bool = True) -> pd.DataFrame:
 
 
 def preprocess_jodie(path: str):
-    """Parse a JODIE-format CSV (header line then ``u,i,ts,label,feat...``)."""
-    raw = pd.read_csv(path, header=0, names=None)
-    cols = list(raw.columns)
-    u = raw[cols[0]].to_numpy(dtype=np.int64)
-    i = raw[cols[1]].to_numpy(dtype=np.int64)
-    ts = raw[cols[2]].to_numpy(dtype=np.float64)
-    label = raw[cols[3]].to_numpy(dtype=np.float64)
-    feat = raw[cols[4:]].to_numpy(dtype=np.float64) if len(cols) > 4 else np.zeros((len(u), 0))
+    """Parse a JODIE-format CSV (header line then ``u,i,ts,label,feat...``)
+    via the native C++ ingest (pandas fallback)."""
+    from zebra_tpu.native.ingest import load_events
+
+    ev = load_events(path, "jodie")
+    feat = ev.feat if ev.feat is not None else np.zeros((len(ev.u), 0))
     df = pd.DataFrame(
-        {"u": u, "i": i, "ts": ts, "label": label, "idx": np.arange(len(u))}
+        {"u": ev.u, "i": ev.i, "ts": ev.ts, "label": ev.label,
+         "idx": np.arange(len(ev.u))}
     )
     return df, feat
 
@@ -61,29 +60,19 @@ def preprocess_jodie(path: str):
 def preprocess_snap(path: str) -> pd.DataFrame:
     """Parse space-separated ``u i ts``; sort by time, shift ts to 0, compact
     node ids to a contiguous 0-based range preserving numeric order
-    (reference preprocess_custom_data.py:8-77)."""
-    raw = pd.read_csv(path, sep=r"\s+", header=None, usecols=[0, 1, 2],
-                      names=["u", "i", "ts"])
-    u = raw.u.to_numpy(dtype=np.int64)
-    i = raw.i.to_numpy(dtype=np.int64)
-    ts = raw.ts.to_numpy(dtype=np.float64)
+    (reference preprocess_custom_data.py:8-77). Uses the native C++ ingest
+    (pandas fallback)."""
+    from zebra_tpu.native.ingest import load_events
 
-    order = np.argsort(ts, kind="stable")
-    u, i, ts = u[order], i[order], ts[order]
-    ts = ts - ts.min()
-
-    # compact ids: rank within the sorted set of observed ids
-    all_ids = np.unique(np.concatenate([u, i]))
-    u = np.searchsorted(all_ids, u)
-    i = np.searchsorted(all_ids, i)
-
+    ev = load_events(path, "snap", sort_by_time=True, compact_ids=True)
+    ts = ev.ts - ev.ts.min() if len(ev.ts) else ev.ts
     return pd.DataFrame(
         {
-            "u": u,
-            "i": i,
+            "u": ev.u,
+            "i": ev.i,
             "ts": ts,
-            "label": np.zeros(len(u)),
-            "idx": np.arange(len(u)),
+            "label": np.zeros(len(ev.u)),
+            "idx": np.arange(len(ev.u)),
         }
     )
 

@@ -146,101 +146,99 @@ def _f32(x):
     return x.astype(jnp.float32)
 
 
-class _Row(NamedTuple):
-    """Unpacked row fields, each [M, k]."""
+def _merge_both(rows3, norm_sd, src, dst, e_idx, e_ts, params: TpprParams):
+    """Both SANTA update directions fused into one [2M, ·]-batched merge:
+    lane 0 produces src's new row from (src ← dst), lane 1 dst's from
+    (dst ← src). Mirrors reference util.py:509-564 with the branchless scale
+    formulas (see module docstring); one sort call covers both lanes.
 
-    nbr: jnp.ndarray   # i32
-    eidx: jnp.ndarray  # i32
-    ts: jnp.ndarray    # f32
-    w: jnp.ndarray     # f32
-
-
-def _unpack_row(packed: jnp.ndarray) -> _Row:
-    """packed [M, 4, k] → fields [M, k]."""
-    return _Row(
-        nbr=_i32(packed[:, _NBR]),
-        eidx=_i32(packed[:, _EIDX]),
-        ts=packed[:, _TS],
-        w=packed[:, _W],
-    )
-
-
-def _pack_row(row: _Row) -> jnp.ndarray:
-    return jnp.stack([row.w, _f32(row.nbr), _f32(row.eidx), row.ts], axis=1)
-
-
-def _merge_rows(
-    s1: _Row,
-    norm_s1: jnp.ndarray,   # f32 [M]
-    s2: _Row,
-    s2_node,                # i32 scalar
-    e_idx,                  # i32 scalar
-    e_ts,                   # f32 scalar
-    params: TpprParams,
-) -> _Row:
-    """One direction of the SANTA update: produce s1's new top-k row.
-
-    Mirrors reference util.py:509-564 with the branchless scale formulas (see
-    module docstring). All ops batch over the ensemble axis M."""
+    rows3 [3, M, 4, k] (src, dst, neg gathered rows), norm_sd [2, M].
+    Returns packed new rows [2, M, 4, k]."""
     alpha, beta, k = params.alpha_arr, params.beta_arr, params.k
     m = alpha.shape[0]
+    alpha2 = jnp.tile(alpha, 2)                            # [2M]
+    beta2 = jnp.tile(beta, 2)
 
-    new_norm = norm_s1 * beta + beta                       # [M]
-    scale_s1 = norm_s1 / new_norm * beta                   # → 0 when norm_s1 == 0
-    scale_s2 = beta / new_norm * (1.0 - alpha)             # → 1-α when norm_s1 == 0
+    def lanes(field):
+        # s1 rows for both directions: (src, dst); s2 rows: (dst, src)
+        s1 = rows3[:2, :, field].reshape(2 * m, -1)        # [2M, k]
+        s2 = rows3[jnp.asarray([1, 0]), :, field].reshape(2 * m, -1)
+        return s1, s2
 
-    w1 = s1.w * scale_s1[:, None]                          # [M, k]
-    w2 = s2.w * scale_s2[:, None]
-    valid1 = s1.w > 0
-    valid2 = s2.w > 0
+    w1r, w2r = lanes(_W)
+    n1, n2 = lanes(_NBR)
+    e1, e2 = lanes(_EIDX)
+    t1, t2 = lanes(_TS)
+    norm1 = norm_sd.reshape(2 * m)
+
+    new_norm = norm1 * beta2 + beta2                       # [2M]
+    scale_s1 = norm1 / new_norm * beta2                    # → 0 when norm1 == 0
+    scale_s2 = beta2 / new_norm * (1.0 - alpha2)           # → 1-α when norm1 == 0
+
+    w1 = w1r * scale_s1[:, None]
+    w2 = w2r * scale_s2[:, None]
+    valid1 = w1r > 0
+    valid2 = w2r > 0
 
     # dedup: an s2 entry matching an s1 entry on (eidx, nbr) folds its weight
     # into the s1 entry (reference util.py:534-538). Keys are unique within a
     # row, so each entry has at most one match.
     match = (
-        (s1.eidx[:, :, None] == s2.eidx[:, None, :])
-        & (s1.nbr[:, :, None] == s2.nbr[:, None, :])
+        (e1[:, :, None] == e2[:, None, :])
+        & (n1[:, :, None] == n2[:, None, :])
         & valid1[:, :, None]
         & valid2[:, None, :]
-    )                                                      # [M, k, k]
+    )                                                      # [2M, k, k]
     w1 = w1 + jnp.sum(jnp.where(match, w2[:, None, :], 0.0), axis=2)
-    dup2 = jnp.any(match, axis=1)                          # [M, k]
+    dup2 = jnp.any(match, axis=1)
     w2 = jnp.where(valid2 & ~dup2, w2, 0.0)
 
     # fresh entry (e_idx, s2_node, e_ts) — e_idx is new to the stream, so it
     # cannot collide with any existing key (reference util.py:531, 540-541).
-    new_w = jnp.where(alpha != 0.0, scale_s2 * alpha, scale_s2)[:, None]  # [M,1]
+    new_w = jnp.where(alpha2 != 0.0, scale_s2 * alpha2, scale_s2)[:, None]
+    new_node = jnp.repeat(
+        jnp.stack([dst, src]).astype(jnp.float32), m
+    )[:, None]                                             # [2M, 1]
 
-    cand_nbr = jnp.concatenate(
-        [s1.nbr, s2.nbr, jnp.full((m, 1), s2_node, jnp.int32)], axis=1
-    )
+    e_idx_f = e_idx.astype(jnp.float32)
+    cand_w = jnp.concatenate([w1, w2, new_w], axis=1)      # [2M, 2k+1]
+    cand_nbr = jnp.concatenate([n1, n2, new_node], axis=1)
     cand_eidx = jnp.concatenate(
-        [s1.eidx, s2.eidx, jnp.full((m, 1), e_idx, jnp.int32)], axis=1
+        [e1, e2, jnp.full((2 * m, 1), e_idx_f)], axis=1
     )
     cand_ts = jnp.concatenate(
-        [s1.ts, s2.ts, jnp.full((m, 1), e_ts, jnp.float32)], axis=1
+        [t1, t2, jnp.full((2 * m, 1), jnp.float32(0) + e_ts)], axis=1
     )
-    cand_w = jnp.concatenate([w1, w2, new_w], axis=1)      # [M, 2k+1]
 
-    # canonical top-k (weight desc, eidx asc, nbr asc)
+    # canonical top-k (weight desc, eidx asc, nbr asc); id fields are exact
+    # f32 values so float key comparison orders like the integers
     neg_w, s_eidx, s_nbr, s_ts = jax.lax.sort(
         (-cand_w, cand_eidx, cand_nbr, cand_ts), num_keys=3
     )
     top_w = -neg_w[:, :k]
     live = top_w > 0
-    return _Row(
-        nbr=jnp.where(live, s_nbr[:, :k], 0),
-        eidx=jnp.where(live, s_eidx[:, :k], 0),
-        ts=jnp.where(live, s_ts[:, :k], 0.0),
-        w=jnp.where(live, top_w, 0.0),
-    )
+    z = jnp.float32(0)
+    packed = jnp.stack(
+        [
+            jnp.where(live, top_w, z),
+            jnp.where(live, s_nbr[:, :k], z),
+            jnp.where(live, s_eidx[:, :k], z),
+            jnp.where(live, s_ts[:, :k], z),
+        ],
+        axis=1,
+    )                                                      # [2M, 4, k]
+    return packed.reshape(2, m, 4, k)
 
 
 def edge_step(
     state: TpprState, src, dst, neg, e_ts, e_idx, valid, params: TpprParams
-) -> Tuple[TpprState, TpprQueries]:
+) -> Tuple[TpprState, jnp.ndarray]:
     """Extraction for (src, dst, neg) at the edge time from the pre-edge
     state, then the SANTA update of both endpoints — one gather, one scatter.
+
+    The extraction output is the raw packed rows [3, M, 4, k]; callers unpack
+    to TpprQueries *outside* the sequential scan (``unpack_queries``) so the
+    loop body stays minimal.
 
     Both update directions read the pre-edge state (the reference computes
     new_s1/new_s2 from old dicts and writes both afterwards, util.py:509-574).
@@ -252,28 +250,28 @@ def edge_step(
     rows3 = state.data[sdn]                  # [3, M, 4, k] one contiguous gather
     norm_sd = state.norm[sdn[:2]]            # [2, M]
 
-    queries = TpprQueries(
-        nbr=_i32(rows3[:, :, _NBR]).transpose(1, 0, 2),
-        eidx=_i32(rows3[:, :, _EIDX]).transpose(1, 0, 2),
-        dt=(e_ts - rows3[:, :, _TS]).transpose(1, 0, 2),
-        w=rows3[:, :, _W].transpose(1, 0, 2),
-    )                                        # fields [M, 3, k]
-
-    row_s = _unpack_row(rows3[0])
-    row_d = _unpack_row(rows3[1])
-    new_s = _merge_rows(row_s, norm_sd[0], row_d, dst, e_idx, e_ts, params)
-    new_d = _merge_rows(row_d, norm_sd[1], row_s, src, e_idx, e_ts, params)
-
-    beta = params.beta_arr
-    packed_new = jnp.stack([_pack_row(new_s), _pack_row(new_d)])   # [2, M, 4, k]
+    packed_new = _merge_both(rows3, norm_sd, src, dst, e_idx, e_ts, params)
     packed_new = jnp.where(valid, packed_new, rows3[:2])
+    beta = params.beta_arr
     new_norm = jnp.where(valid, norm_sd * beta + beta, norm_sd)
 
     state = TpprState(
         data=state.data.at[sdn[:2]].set(packed_new),
         norm=state.norm.at[sdn[:2]].set(new_norm),
     )
-    return state, queries
+    return state, rows3
+
+
+def unpack_queries(rows3: jnp.ndarray, e_ts: jnp.ndarray) -> TpprQueries:
+    """Vectorized post-scan unpack: raw rows [E, 3, M, 4, k] + edge times [E]
+    → TpprQueries fields [E, M, 3, k]."""
+    perm = (0, 2, 1, 3)
+    return TpprQueries(
+        nbr=_i32(rows3[:, :, :, _NBR]).transpose(perm),
+        eidx=_i32(rows3[:, :, :, _EIDX]).transpose(perm),
+        dt=(e_ts[:, None, None, None] - rows3[:, :, :, _TS]).transpose(perm),
+        w=rows3[:, :, :, _W].transpose(perm),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("params",), donate_argnames=("state",))
@@ -295,7 +293,8 @@ def streaming_scan(
         s, d, n, t, e, v = edge
         return edge_step(carry, s, d, n, t, e, v, params)
 
-    return jax.lax.scan(step, state, (src, dst, neg, e_ts, e_idx, valid))
+    state, rows = jax.lax.scan(step, state, (src, dst, neg, e_ts, e_idx, valid))
+    return state, unpack_queries(rows, e_ts)
 
 
 @functools.partial(jax.jit, static_argnames=("params",), donate_argnames=("state",))

@@ -1,0 +1,194 @@
+// zebra_tpu native ingest: fast host-side event-stream parsing.
+//
+// The TPU compute path is JAX/XLA; this library covers the host-side
+// data-loader role (the reference uses pandas + per-line Python loops,
+// utils/preprocess_data.py / preprocess_custom_data.py). It parses
+// JODIE-style CSV ("u,i,ts,label,feat...") and SNAP-style whitespace
+// ("u i ts") event files into packed column arrays, optionally compacting
+// non-contiguous node ids (order-preserving rank remap) and sorting by
+// timestamp — all single-pass, allocation-light C++.
+//
+// C ABI (ctypes-friendly):
+//   zt_parse_events(path, format, out*)  -> handle with column pointers
+//   zt_free(handle)
+//
+// Columns are int64 u/i, double ts, double label, plus optional features
+// (JODIE only; row-major n x d).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <numeric>
+#include <vector>
+
+namespace {
+
+struct Events {
+  std::vector<int64_t> u, i;
+  std::vector<double> ts, label;
+  std::vector<double> feat;  // row-major [n, feat_dim]
+  int64_t feat_dim = 0;
+};
+
+// Parse one decimal field; advances *p past the field and one delimiter.
+inline double parse_double(const char** p) {
+  char* end;
+  double v = strtod(*p, &end);
+  *p = (*end == ',' || *end == ' ' || *end == '\t') ? end + 1 : end;
+  return v;
+}
+
+inline int64_t parse_int(const char** p) {
+  char* end;
+  long long v = strtoll(*p, &end, 10);
+  *p = (*end == ',' || *end == ' ' || *end == '\t') ? end + 1 : end;
+  return v;
+}
+
+bool read_file(const char* path, std::vector<char>& buf) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  fseek(f, 0, SEEK_END);
+  long size = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  buf.resize(static_cast<size_t>(size) + 1);
+  size_t got = fread(buf.data(), 1, static_cast<size_t>(size), f);
+  fclose(f);
+  buf.resize(got);
+  buf.push_back('\0');
+  return true;
+}
+
+// format: 0 = JODIE csv with header (u,i,ts,label,feat...), 1 = SNAP "u i ts"
+Events* parse(const char* path, int format) {
+  std::vector<char> buf;
+  if (!read_file(path, buf)) return nullptr;
+
+  auto* ev = new Events();
+  const char* p = buf.data();
+  const char* end = buf.data() + buf.size() - 1;
+
+  if (format == 0) {  // skip header line
+    while (p < end && *p != '\n') p++;
+    if (p < end) p++;
+  }
+
+  bool first_row = true;
+  while (p < end) {
+    if (*p == '\n' || *p == '\r') { p++; continue; }
+    ev->u.push_back(parse_int(&p));
+    ev->i.push_back(parse_int(&p));
+    ev->ts.push_back(parse_double(&p));
+    if (format == 0) {
+      ev->label.push_back(parse_double(&p));
+      // remaining fields on the line are features
+      std::vector<double> row;
+      while (p < end && *p != '\n' && *p != '\r') {
+        const char* before = p;
+        row.push_back(parse_double(&p));
+        if (p == before) {  // unparseable text: refuse rather than spin
+          delete ev;
+          return nullptr;
+        }
+      }
+      if (first_row) {
+        ev->feat_dim = static_cast<int64_t>(row.size());
+        first_row = false;
+      }
+      if (static_cast<int64_t>(row.size()) != ev->feat_dim) {
+        delete ev;  // ragged feature rows: refuse
+        return nullptr;
+      }
+      ev->feat.insert(ev->feat.end(), row.begin(), row.end());
+    } else {
+      ev->label.push_back(0.0);
+      while (p < end && *p != '\n' && *p != '\r') p++;  // ignore extra fields
+    }
+    while (p < end && (*p == '\n' || *p == '\r')) p++;
+  }
+  return ev;
+}
+
+// stable sort by timestamp (SNAP preprocessing, reference
+// preprocess_custom_data.py:34-40)
+void sort_by_time(Events* ev) {
+  const size_t n = ev->ts.size();
+  std::vector<size_t> order(n);
+  std::iota(order.begin(), order.end(), 0);
+  std::stable_sort(order.begin(), order.end(),
+                   [&](size_t a, size_t b) { return ev->ts[a] < ev->ts[b]; });
+  auto permute_i = [&](std::vector<int64_t>& v) {
+    std::vector<int64_t> out(n);
+    for (size_t j = 0; j < n; ++j) out[j] = v[order[j]];
+    v.swap(out);
+  };
+  auto permute_d = [&](std::vector<double>& v) {
+    std::vector<double> out(n);
+    for (size_t j = 0; j < n; ++j) out[j] = v[order[j]];
+    v.swap(out);
+  };
+  permute_i(ev->u);
+  permute_i(ev->i);
+  permute_d(ev->ts);
+  permute_d(ev->label);
+}
+
+// order-preserving compaction of node ids to 0..n_unique-1 (reference
+// preprocess_custom_data.py:45-66)
+void compact_ids(Events* ev) {
+  std::vector<int64_t> all;
+  all.reserve(ev->u.size() * 2);
+  all.insert(all.end(), ev->u.begin(), ev->u.end());
+  all.insert(all.end(), ev->i.begin(), ev->i.end());
+  std::sort(all.begin(), all.end());
+  all.erase(std::unique(all.begin(), all.end()), all.end());
+  auto rank = [&](int64_t id) {
+    return static_cast<int64_t>(
+        std::lower_bound(all.begin(), all.end(), id) - all.begin());
+  };
+  for (auto& v : ev->u) v = rank(v);
+  for (auto& v : ev->i) v = rank(v);
+}
+
+}  // namespace
+
+extern "C" {
+
+struct ZtEvents {
+  int64_t n;
+  int64_t feat_dim;
+  const int64_t* u;
+  const int64_t* i;
+  const double* ts;
+  const double* label;
+  const double* feat;
+  void* impl;
+};
+
+// format: 0 = JODIE csv, 1 = SNAP. flags bit0: sort by time, bit1: compact ids.
+ZtEvents* zt_parse_events(const char* path, int format, int flags) {
+  Events* ev = parse(path, format);
+  if (!ev) return nullptr;
+  if (flags & 1) sort_by_time(ev);
+  if (flags & 2) compact_ids(ev);
+  auto* out = new ZtEvents();
+  out->n = static_cast<int64_t>(ev->u.size());
+  out->feat_dim = ev->feat_dim;
+  out->u = ev->u.data();
+  out->i = ev->i.data();
+  out->ts = ev->ts.data();
+  out->label = ev->label.data();
+  out->feat = ev->feat.empty() ? nullptr : ev->feat.data();
+  out->impl = ev;
+  return out;
+}
+
+void zt_free(ZtEvents* h) {
+  if (!h) return;
+  delete static_cast<Events*>(h->impl);
+  delete h;
+}
+
+}  // extern "C"

@@ -29,6 +29,7 @@ from zebra_tpu.index.streaming import (
     TpprParams,
     TpprQueries,
     edge_step,
+    unpack_queries,
 )
 from zebra_tpu.models.memory import MemoryState
 from zebra_tpu.train.step import (
@@ -61,9 +62,10 @@ def _index_queries(cfg: Config, tppr_params: TpprParams, index_state,
             s, d, n, tt, ei, v = e
             return edge_step(carry, s, d, n, tt, ei, v, tppr_params)
 
-        index_state, q = jax.lax.scan(
+        index_state, rows = jax.lax.scan(
             estep, index_state, (src, dst, neg, t, eidx, valid)
         )
+        q = unpack_queries(rows, t)
         # [b, M, 3, k] → [M, 3b, k] in src‖dst‖neg row order
         q = TpprQueries(
             *(
