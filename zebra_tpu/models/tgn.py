@@ -48,23 +48,54 @@ def _linear(p, x):
 
 def init_tgn_params(rng, cfg: Config) -> TgnParams:
     assert cfg.node_dim == cfg.memory_dim, (
-        "the diffusion tower feeds memory rows into node_dim-wide MLPs "
+        "all towers feed memory rows as node representations "
         "(reference embedding_module.py:94, 245)"
     )
     d = cfg.node_dim
     nbr_in = d + cfg.time_dim + cfg.edge_dim
     h = cfg.hidden_dim
-    ks = jax.random.split(rng, 8)
+    ks = jax.random.split(rng, 12)
     cell_init, _ = CELLS[cfg.memory_updater]
-    return {
-        "fc1": _linear_init(ks[0], nbr_in, d),
-        "fc2": _linear_init(ks[1], d, d),
-        "fc1_src": _linear_init(ks[2], d, d),
-        "fc2_src": _linear_init(ks[3], d, d),
+    params: TgnParams = {
         "affinity_fc1": _linear_init(ks[4], 2 * h, h),
         "affinity_fc2": _linear_init(ks[5], h, 1),
         "cell": cell_init(ks[6], cfg.message_dim, cfg.memory_dim),
     }
+    if cfg.embedding_module == "diffusion":
+        params.update(
+            fc1=_linear_init(ks[0], nbr_in, d),
+            fc2=_linear_init(ks[1], d, d),
+            fc1_src=_linear_init(ks[2], d, d),
+            fc2_src=_linear_init(ks[3], d, d),
+        )
+    elif cfg.embedding_module == "graph_attention":
+        from zebra_tpu.models.attention import attention_layer_init
+
+        layer_keys = jax.random.split(ks[7], cfg.n_layer)
+        params["attn"] = [
+            attention_layer_init(k, d, cfg.edge_dim, cfg.time_dim, cfg.n_head)
+            for k in layer_keys
+        ]
+    elif cfg.embedding_module == "graph_sum":
+        k1s = jax.random.split(ks[7], cfg.n_layer)
+        k2s = jax.random.split(ks[8], cfg.n_layer)
+        params["sum_fc1"] = [
+            _linear_init(k, nbr_in, d, xavier=False) for k in k1s
+        ]
+        params["sum_fc2"] = [
+            _linear_init(k, 2 * d + cfg.time_dim, d, xavier=False) for k in k2s
+        ]
+    elif cfg.embedding_module == "time":
+        # JODIE NormalLinear(1, D): weights and bias ~ N(0, 1/sqrt(D))
+        # (reference embedding_module.py:45-52)
+        std = 1.0 / jnp.sqrt(d)
+        params["time_proj"] = {
+            "w": jax.random.normal(ks[7], (1, d), jnp.float32) * std,
+            "b": jax.random.normal(ks[8], (d,), jnp.float32) * std,
+        }
+    elif cfg.embedding_module != "identity":
+        raise ValueError(f"unknown embedding module {cfg.embedding_module!r}")
+    return params
 
 
 # ------------------------------------------------------------------ applies

@@ -110,9 +110,13 @@ class Trainer:
             ),
         }
 
-        # pruning strategy: train-graph adjacency during training, full-graph
-        # during val/test (reference train.py:191, 245)
-        if cfg.tppr_strategy == "pruning":
+        # adjacency indices: pruning queries and the recursive towers use the
+        # train graph during training and the full graph during val/test
+        # (reference train.py:191, 245)
+        needs_adjacency = cfg.tppr_strategy == "pruning" or (
+            cfg.embedding_module in ("graph_attention", "graph_sum")
+        )
+        if needs_adjacency:
             self.train_nbr_index = build_neighbor_index(
                 tr.sources, tr.destinations, tr.timestamps, tr.edge_idxs, cfg.n_nodes
             )
@@ -140,9 +144,10 @@ class Trainer:
     # ---------------------------------------------------------------- helpers
 
     def _fresh_index(self):
-        if self.cfg.tppr_strategy != "streaming":
+        cfg = self.cfg
+        if cfg.embedding_module != "diffusion" or cfg.tppr_strategy != "streaming":
             return ()
-        return init_tppr_state(self.cfg.n_tppr, self.cfg.n_nodes, self.cfg.topk)
+        return init_tppr_state(cfg.n_tppr, cfg.n_nodes, cfg.topk)
 
     def _upload_stream(self, data: Data) -> Tuple[Stream, int]:
         """Pad a chronological stream to whole batches and upload."""

@@ -115,8 +115,9 @@ def run_phase(
     opt = make_optimizer(cfg)
     xs = jax.tree.map(lambda x: x.reshape(n_batches, b), stream)
 
-    def loss_fn(p, mem, s, q, drop_rng, nodes3, valid):
-        emb = _forward(cfg, p, mem, edge_feats, nodes3, q, drop_rng, train=True)
+    def loss_fn(p, mem, s, q, drop_rng, nodes3, times3, valid):
+        emb = _forward(cfg, p, mem, edge_feats, nodes3, times3, q, nbr_index,
+                       drop_rng, train=True)
         pos_logit, neg_logit = _scores(cfg, p, emb, b)
         bce_pos = optax.sigmoid_binary_cross_entropy(
             pos_logit, jnp.ones_like(pos_logit)
@@ -134,18 +135,22 @@ def run_phase(
         neg = neg_pool[
             jax.random.randint(k_neg, (b,), 0, neg_pool.shape[0])
         ]
-        index_state, q = _index_queries(
-            cfg, tppr_params, index_state, nbr_index,
-            s.src, s.dst, neg, s.t, s.eidx, s.valid,
-        )
+        if cfg.embedding_module == "diffusion":
+            index_state, q = _index_queries(
+                cfg, tppr_params, index_state, nbr_index,
+                s.src, s.dst, neg, s.t, s.eidx, s.valid,
+            )
+        else:
+            q = None  # recursive/identity/time towers query the graph directly
         nodes3 = jnp.concatenate([s.src, s.dst, neg])
+        times3 = jnp.concatenate([s.t, s.t, s.t])
         positives = jnp.concatenate([s.src, s.dst])
         valid2 = jnp.concatenate([s.valid, s.valid])
 
         if train:
             (loss, (pos_p, neg_p)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
-            )(params, mem, s, q, k_drop, nodes3, s.valid)
+            )(params, mem, s, q, k_drop, nodes3, times3, s.valid)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             # commit previous batches' messages, then store this batch's
@@ -156,8 +161,8 @@ def run_phase(
             )
         else:
             loss = jnp.zeros(())
-            emb = _forward(cfg, params, mem, edge_feats, nodes3, q, None,
-                           train=False)
+            emb = _forward(cfg, params, mem, edge_feats, nodes3, times3, q,
+                           nbr_index, None, train=False)
             pos_logit, neg_logit = _scores(cfg, params, emb, b)
             pos_p, neg_p = jax.nn.sigmoid(pos_logit), jax.nn.sigmoid(neg_logit)
             # eval: store first, commit immediately (tgn_model.py:159-172)

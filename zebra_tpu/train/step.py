@@ -97,33 +97,47 @@ def _forward(
     mem: MemoryState,
     edge_feats: jnp.ndarray,     # f32 [E+1, De]
     nodes3: jnp.ndarray,         # i32 [3b] src‖dst‖neg
-    q: TpprQueries,              # fields [M, 3b, k]
+    times3: jnp.ndarray,         # f32 [3b] query times
+    q,                           # TpprQueries [M, 3b, k] (diffusion) or None
+    nbr_index,                   # NeighborIndex (recursive towers) or ()
     dropout_rng,
     train: bool,
 ) -> jnp.ndarray:
-    """Ensemble diffusion embeddings for the 3b query rows → [3b, H]."""
-    if train:
-        # membership of a query node in the selected-neighbor set gates its
-        # lazy update (reference embedding_module.py:228-230)
-        n_nodes = mem.memory.shape[0]
-        sel = jnp.zeros((n_nodes,), bool).at[q.nbr.reshape(-1)].set(True)
-        src_rows = _lazy_rows(cfg, params, mem, nodes3, sel[nodes3])
-        nbr_rows = _lazy_rows(cfg, params, mem, q.nbr, jnp.ones_like(q.w, bool))
-    else:
-        src_rows = mem.memory[nodes3]
-        nbr_rows = mem.memory[q.nbr]
+    """Embeddings for the 3b query rows → [3b, H]; dispatches on
+    cfg.embedding_module (see zebra_tpu.models.embedding)."""
+    em = cfg.embedding_module
+    if em == "diffusion":
+        if train:
+            # membership of a query node in the selected-neighbor set gates
+            # its lazy update (reference embedding_module.py:228-230)
+            n_nodes = mem.memory.shape[0]
+            sel = jnp.zeros((n_nodes,), bool).at[q.nbr.reshape(-1)].set(True)
+            src_rows = _lazy_rows(cfg, params, mem, nodes3, sel[nodes3])
+            nbr_rows = _lazy_rows(cfg, params, mem, q.nbr,
+                                  jnp.ones_like(q.w, bool))
+        else:
+            src_rows = mem.memory[nodes3]
+            nbr_rows = mem.memory[q.nbr]
+        return diffusion_embed(
+            cfg, params, src_rows, nbr_rows, edge_feats[q.eidx], q.dt, q.w,
+            dropout_rng, train,
+        )
 
-    return diffusion_embed(
-        cfg,
-        params,
-        src_rows,
-        nbr_rows,
-        edge_feats[q.eidx],
-        q.dt,
-        q.w,
-        dropout_rng,
-        train,
+    from zebra_tpu.models.embedding import (
+        identity_embed,
+        recursive_embed,
+        time_embed,
     )
+
+    if em in ("graph_attention", "graph_sum"):
+        return recursive_embed(
+            cfg, params, mem, edge_feats, nbr_index, nodes3, times3, train
+        )
+    if em == "time":
+        return time_embed(cfg, params, mem, nodes3, times3, train)
+    if em == "identity":
+        return identity_embed(cfg, params, mem, nodes3, train)
+    raise ValueError(f"unknown embedding module {em!r}")
 
 
 def _scores(cfg, params, emb, b):
