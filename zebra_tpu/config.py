@@ -94,6 +94,13 @@ class Config:
         (reference tgn_model.py:60-61)."""
         return 2 * self.memory_dim + self.edge_dim + self.time_dim
 
+    @property
+    def cell_input_dim(self) -> int:
+        """Updater-cell input width: the raw message, or the MLP message
+        function's output (identity is the reference default; its 'mlp'
+        branch is unrunnable there, tgn_model.py:64)."""
+        return self.memory_dim if self.message_function == "mlp" else self.message_dim
+
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
 

@@ -46,11 +46,13 @@ def _lazy_rows(cfg: Config, params, mem, ids, train: bool, enable=None):
     """Memory rows for ``ids`` with the lazy differentiable cell update where
     a message is pending. ``enable`` optionally gates which positions may
     update (diffusion's selected-set rule); None = all (when train)."""
+    from zebra_tpu.models.tgn import message_input
+
     rows = mem.memory[ids]
     if not train:
         return rows
     _, cell = CELLS[cfg.memory_updater]
-    upd = cell(params["cell"], mem.messages[ids], rows)
+    upd = cell(params["cell"], message_input(cfg, params, mem, ids), rows)
     gate = mem.msg_flag[ids] if enable is None else (mem.msg_flag[ids] & enable)
     return jnp.where(gate[..., None], upd, rows)
 

@@ -5,9 +5,15 @@ here the memory is an immutable pytree threaded through jitted steps, so the
 reference's backup/restore dance (memory.py:49-53, train.py:252-269) becomes
 plain value retention and checkpointing is trivial.
 
-Single-pending-message semantics: ``store_raw_messages`` overwrites, so each
-node holds at most the *last* raw message directed at it (reference
-memory.py:27-30 — this hard-bakes the 'last' aggregator)."""
+Pending-message semantics by aggregator (reference message_aggregator.py —
+declared but with no call sites; 'last' is hard-baked by the overwrite in
+``store_raw_messages``, memory.py:27-30):
+
+- ``last``: the slot holds the most recent raw message directed at the node.
+- ``mean``: the slot accumulates the SUM of raw messages since the last
+  commit plus a count, and the updater consumes their mean — the upstream
+  TGN MeanMessageAggregator semantics, expressed without ragged per-node
+  lists."""
 
 from __future__ import annotations
 
@@ -19,9 +25,10 @@ import jax.numpy as jnp
 class MemoryState(NamedTuple):
     memory: jnp.ndarray       # f32 [N, mem_dim]
     last_update: jnp.ndarray  # f32 [N]
-    messages: jnp.ndarray     # f32 [N, msg_dim] pending raw message per node
-    msg_ts: jnp.ndarray       # f32 [N] its timestamp
+    messages: jnp.ndarray     # f32 [N, msg_dim] pending message (or sum)
+    msg_ts: jnp.ndarray       # f32 [N] latest pending-message timestamp
     msg_flag: jnp.ndarray     # bool [N] message pending?
+    msg_count: jnp.ndarray    # f32 [N] pending count (mean aggregator)
 
 
 def init_memory(n_nodes: int, mem_dim: int, msg_dim: int) -> MemoryState:
@@ -33,4 +40,5 @@ def init_memory(n_nodes: int, mem_dim: int, msg_dim: int) -> MemoryState:
         messages=jnp.zeros((n_nodes, msg_dim), jnp.float32),
         msg_ts=jnp.zeros((n_nodes,), jnp.float32),
         msg_flag=jnp.zeros((n_nodes,), bool),
+        msg_count=jnp.zeros((n_nodes,), jnp.float32),
     )

@@ -59,8 +59,15 @@ def init_tgn_params(rng, cfg: Config) -> TgnParams:
     params: TgnParams = {
         "affinity_fc1": _linear_init(ks[4], 2 * h, h),
         "affinity_fc2": _linear_init(ks[5], h, 1),
-        "cell": cell_init(ks[6], cfg.message_dim, cfg.memory_dim),
+        "cell": cell_init(ks[6], cfg.cell_input_dim, cfg.memory_dim),
     }
+    if cfg.message_function == "mlp":
+        # MLPMessageFunction: raw → raw/2 → memory_dim (reference
+        # modules/message_function.py:13-22)
+        raw = cfg.message_dim
+        params["msg_fc1"] = _linear_init(ks[9], raw, raw // 2, xavier=False)
+        params["msg_fc2"] = _linear_init(ks[10], raw // 2, cfg.memory_dim,
+                                         xavier=False)
     if cfg.embedding_module == "diffusion":
         params.update(
             fc1=_linear_init(ks[0], nbr_in, d),
@@ -113,6 +120,22 @@ def _mlp2(p1, p2, x, dropout_rng, dropout: float, train: bool):
 def cell_apply(cfg: Config, params: TgnParams, msgs, mem):
     _, apply = CELLS[cfg.memory_updater]
     return apply(params["cell"], msgs, mem)
+
+
+def message_input(cfg: Config, params: TgnParams, mem_state, ids):
+    """The updater-cell input for the pending messages of ``ids``: the mean
+    over accumulated messages (aggregator='mean') or the stored last message,
+    passed through the MLP message function when configured (reference
+    modules/message_function.py, message_aggregator.py — both are declared
+    in the reference but have no runnable call sites)."""
+    raw = mem_state.messages[ids]
+    if cfg.aggregator == "mean":
+        cnt = jnp.maximum(mem_state.msg_count[ids], 1.0)
+        raw = raw / cnt[..., None]
+    if cfg.message_function == "mlp":
+        hidden = jax.nn.relu(_linear(params["msg_fc1"], raw))
+        raw = _linear(params["msg_fc2"], hidden)
+    return raw
 
 
 def diffusion_embed(

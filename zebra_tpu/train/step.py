@@ -48,6 +48,7 @@ from zebra_tpu.models.tgn import (
     affinity_score,
     cell_apply,
     diffusion_embed,
+    message_input,
 )
 from zebra_tpu.models.time_encoding import time_basis, time_encode
 from zebra_tpu.ops.metrics import masked_ap, masked_auc, masked_rank_acc
@@ -87,7 +88,7 @@ def _lazy_rows(cfg: Config, params: TgnParams, mem: MemoryState, ids, enable):
     rows = mem.memory[ids]
     if enable is None:
         return rows
-    upd = cell_apply(cfg, params, mem.messages[ids], rows)
+    upd = cell_apply(cfg, params, message_input(cfg, params, mem, ids), rows)
     return jnp.where((mem.msg_flag[ids] & enable)[..., None], upd, rows)
 
 
@@ -161,9 +162,9 @@ def _commit_pending(cfg, params, mem: MemoryState, positives, valid2):
     n = mem.memory.shape[0]
     rows = mem.memory[positives]
     flags = mem.msg_flag[positives] & valid2
-    upd = cell_apply(cfg, params, mem.messages[positives], rows)
+    upd = cell_apply(cfg, params, message_input(cfg, params, mem, positives), rows)
     idx = jnp.where(valid2, positives, n)  # out-of-bounds → dropped
-    return mem._replace(
+    new = mem._replace(
         memory=mem.memory.at[idx].set(
             jnp.where(flags[:, None], upd, rows), mode="drop"
         ),
@@ -173,6 +174,13 @@ def _commit_pending(cfg, params, mem: MemoryState, positives, valid2):
         ),
         msg_flag=mem.msg_flag.at[idx].set(False, mode="drop"),
     )
+    if cfg.aggregator == "mean":
+        # the consumed accumulator must restart from zero
+        new = new._replace(
+            messages=new.messages.at[idx].set(0.0, mode="drop"),
+            msg_count=new.msg_count.at[idx].set(0.0, mode="drop"),
+        )
+    return new
 
 
 def _store_messages(cfg, params, mem: MemoryState, edge_feats, src, dst, t, eidx, valid):
@@ -205,11 +213,26 @@ def _store_messages(cfg, params, mem: MemoryState, edge_feats, src, dst, t, eidx
         ],
         axis=-1,
     )
+    if cfg.aggregator == "mean":
+        # accumulate every message (duplicates sum via scatter-add); msg_ts
+        # tracks the newest pending timestamp
+        idx_all = jnp.where(valid2, snd, n)
+        return mem._replace(
+            messages=mem.messages.at[idx_all].add(
+                jnp.where(valid2[:, None], msg, 0.0), mode="drop"
+            ),
+            msg_count=mem.msg_count.at[idx_all].add(
+                valid2.astype(jnp.float32), mode="drop"
+            ),
+            msg_ts=mem.msg_ts.at[idx_all].max(t2, mode="drop"),
+            msg_flag=mem.msg_flag.at[idx_all].set(True, mode="drop"),
+        )
     idx = jnp.where(keep, snd, n)
     return mem._replace(
         messages=mem.messages.at[idx].set(msg, mode="drop"),
         msg_ts=mem.msg_ts.at[idx].set(t2, mode="drop"),
         msg_flag=mem.msg_flag.at[idx].set(True, mode="drop"),
+        msg_count=mem.msg_count.at[idx].set(1.0, mode="drop"),
     )
 
 
@@ -218,10 +241,18 @@ def flush_pending_messages(cfg: Config, params: TgnParams, mem: MemoryState) -> 
     """One-time train→eval flush of ALL pending messages (reference
     update_memory_in_test, memory_updater.py:46-57). Dense over N rows —
     runs a handful of times per epoch."""
-    upd = cell_apply(cfg, params, mem.messages, mem.memory)
+    all_ids = jnp.arange(mem.memory.shape[0])
+    upd = cell_apply(cfg, params, message_input(cfg, params, mem, all_ids),
+                     mem.memory)
     f = mem.msg_flag
-    return mem._replace(
+    new = mem._replace(
         memory=jnp.where(f[:, None], upd, mem.memory),
         last_update=jnp.where(f, mem.msg_ts, mem.last_update),
         msg_flag=jnp.zeros_like(f),
     )
+    if cfg.aggregator == "mean":
+        new = new._replace(
+            messages=jnp.where(f[:, None], 0.0, new.messages),
+            msg_count=jnp.where(f, 0.0, new.msg_count),
+        )
+    return new
