@@ -33,16 +33,13 @@ def shard_params(tree: Any, mesh: Mesh):
 
 
 def shard_memory(mem, mesh: Mesh, axis: str = "data"):
-    """Row-shard the node-memory tables over the mesh."""
-    sharding_2d = NamedSharding(mesh, P(axis, None))
-    sharding_1d = NamedSharding(mesh, P(axis))
-    return type(mem)(
-        memory=jax.device_put(mem.memory, sharding_2d),
-        last_update=jax.device_put(mem.last_update, sharding_1d),
-        messages=jax.device_put(mem.messages, sharding_2d),
-        msg_ts=jax.device_put(mem.msg_ts, sharding_1d),
-        msg_flag=jax.device_put(mem.msg_flag, sharding_1d),
-    )
+    """Row-shard the node-memory tables over the mesh (rank-generic: 2-D
+    fields split rows, 1-D fields split directly)."""
+    def put(x):
+        spec = P(axis, None) if x.ndim == 2 else P(axis)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, mem)
 
 
 def shard_index_state(state, mesh: Mesh, axis: str = "data"):
