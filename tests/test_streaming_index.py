@@ -26,9 +26,11 @@ def random_stream(n_events, n_nodes, seed, self_loops=False):
     return src, dst, neg, ts, eidx
 
 
-def dense_row_dict(state, m, node):
+def dense_row_dict(state, m, node, n_tppr=1, k=None):
     """(eidx, nbr) → w view of one dense row."""
-    nbr, eidx, ts, w, norm = unpack_state(state)
+    if k is None:
+        k = (state.data.shape[1] // n_tppr - 1) // 4
+    nbr, eidx, ts, w, norm = unpack_state(state, n_tppr, k)
     return {
         (int(e), int(n)): float(x)
         for e, n, x in zip(eidx[m, node], nbr[m, node], w[m, node])
@@ -37,7 +39,7 @@ def dense_row_dict(state, m, node):
 
 
 def assert_state_matches(state, oracle, n_nodes, tol=1e-4):
-    u_nbr, u_eidx, u_ts, u_w, u_norm = unpack_state(state)
+    u_nbr, u_eidx, u_ts, u_w, u_norm = unpack_state(state, oracle.n_tppr, oracle.k)
     for m in range(oracle.n_tppr):
         np.testing.assert_allclose(
             u_norm[m][:n_nodes],
@@ -155,9 +157,9 @@ def test_single_edge_algebra():
     )
     assert dense_row_dict(state, 0, 1) == pytest.approx({(1, 2): (1 - alpha) * alpha})
     assert dense_row_dict(state, 0, 2) == pytest.approx({(1, 1): (1 - alpha) * alpha})
-    # norm layout is [N, M]
-    assert float(state.norm[1, 0]) == pytest.approx(beta)
-    assert float(state.norm[2, 0]) == pytest.approx(beta)
+    _, _, _, _, norm = unpack_state(state, 1, k)
+    assert float(norm[0, 1]) == pytest.approx(beta)
+    assert float(norm[0, 2]) == pytest.approx(beta)
     assert dense_row_dict(state, 0, 3) == {}
 
 

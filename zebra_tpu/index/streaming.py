@@ -3,14 +3,23 @@
 TPU-native re-design of the reference's per-node Numba dict index
 (reference utils/util.py:377-576, jitclass ``tppr_finder``). Instead of one
 hash map per node we keep fixed-k dense state resident in device HBM, packed
-so each node's entire record is one contiguous row:
+so each node's entire record — top-k entries of every ensemble member plus
+the norms — is one contiguous row:
 
-    data : f32 [N, M, 4, k]   per node and ensemble member, four fields:
-                              0 = weight (> 0 live, 0 empty slot)
-                              1 = neighbor node id   (as f32 value)
-                              2 = edge id            (as f32 value)
-                              3 = entry timestamp
-    norm : f32 [N, M]         per-node running norm  n ← n·β + β
+    data : f32 [N, F]   one flat row per node, F = M·(4k+1):
+                        the first M·4k lanes hold, per ensemble member, the
+                        four k-vectors [weight | neighbor id | edge id |
+                        entry timestamp] (reshaped to [M, 4, k] in-register),
+                        and the last M lanes hold the per-member running
+                        norm  n ← n·β + β.
+
+The single trailing axis is deliberate: TPU arrays tile their last two dims
+to (8, 128), so a [N, M, 4, k] layout with k ≈ 20 pads 12.8× in HBM and
+drags that padding through every row access; a flat [N, F] row pads only to
+the next 128 lanes, and the per-edge state traffic becomes exactly one
+contiguous row gather for (src, dst, neg) and one row scatter for
+(src, dst) — fields and norms together. The scan is HBM-bound, so this
+layout sets throughput.
 
 Ids are stored as f32 *values*, not bitcast int32: ids below 2^23 bitcast to
 denormal floats, which partitioned XLA programs may flush to zero; value
@@ -18,10 +27,7 @@ conversion round-trips exactly for ids < 2^24 (16.7M — above the largest
 reference dataset's 7.8M edges; larger graphs need a split-row layout).
 
 where M = ensemble size (one (α, β) metric per member) and k = top-k
-capacity. The packed [N, ...] layout means the per-edge state traffic is one
-contiguous ~16·M·k-byte gather for (src, dst, neg) and one scatter for
-(src, dst) — the scan is HBM-latency-bound, so minimizing the number of
-distinct row accesses is what sets throughput.
+capacity.
 
 The per-interaction SANTA recurrence (reference util.py:509-574) for an edge
 (s, t, τ, e) updates both endpoints symmetrically from the *pre-edge* state:
@@ -98,8 +104,38 @@ class TpprParams(NamedTuple):
 
 
 class TpprState(NamedTuple):
-    data: jnp.ndarray  # f32 [N, M, 4, k] packed rows (see module docstring)
-    norm: jnp.ndarray  # f32 [N, M]
+    data: jnp.ndarray  # f32 [N, F] flat rows, F = M*(4k+1) (see module docstring)
+
+
+def row_width(n_tppr: int, k: int) -> int:
+    return n_tppr * (4 * k + 1)
+
+
+def init_tppr_state(n_tppr: int, n_nodes: int, k: int) -> TpprState:
+    return TpprState(
+        data=jnp.zeros((n_nodes, row_width(n_tppr, k)), jnp.float32)
+    )
+
+
+def _split_rows(rows: jnp.ndarray, m: int, k: int):
+    """rows [..., F] → (fields [..., M, 4, k], norm [..., M])."""
+    fields = rows[..., : 4 * m * k].reshape(rows.shape[:-1] + (m, 4, k))
+    norm = rows[..., 4 * m * k :]
+    return fields, norm
+
+
+def unpack_state(state: TpprState, n_tppr: int, k: int):
+    """Test/interop view: (nbr i32 [M,N,k], eidx i32, ts f32, w f32,
+    norm f32 [M,N])."""
+    d = np.asarray(state.data)
+    n = d.shape[0]
+    fields = d[:, : 4 * n_tppr * k].reshape(n, n_tppr, 4, k)
+    norm = d[:, 4 * n_tppr * k :]
+    w = fields[:, :, _W].transpose(1, 0, 2)
+    nbr = fields[:, :, _NBR].transpose(1, 0, 2).astype(np.int32)
+    eidx = fields[:, :, _EIDX].transpose(1, 0, 2).astype(np.int32)
+    ts = fields[:, :, _TS].transpose(1, 0, 2)
+    return nbr, eidx, ts, w, norm.transpose(1, 0)
 
 
 class TpprQueries(NamedTuple):
@@ -117,43 +153,19 @@ class TpprQueries(NamedTuple):
     w: jnp.ndarray     # f32
 
 
-def init_tppr_state(n_tppr: int, n_nodes: int, k: int) -> TpprState:
-    return TpprState(
-        data=jnp.zeros((n_nodes, n_tppr, 4, k), jnp.float32),
-        norm=jnp.zeros((n_nodes, n_tppr), jnp.float32),
-    )
-
-
-def unpack_state(state: TpprState):
-    """Test/interop view: (nbr i32 [M,N,k], eidx i32, ts f32, w f32,
-    norm f32 [M,N])."""
-    d = np.asarray(state.data)
-    w = d[:, :, _W].transpose(1, 0, 2)
-    nbr = d[:, :, _NBR].transpose(1, 0, 2).astype(np.int32)
-    eidx = d[:, :, _EIDX].transpose(1, 0, 2).astype(np.int32)
-    ts = d[:, :, _TS].transpose(1, 0, 2)
-    norm = np.asarray(state.norm).transpose(1, 0)
-    return nbr, eidx, ts, w, norm
-
-
 def _i32(x):
     """f32-held id → int32 (exact for ids < 2^24)."""
     return x.astype(jnp.int32)
 
 
-def _f32(x):
-    """int32 id → f32 value (exact for ids < 2^24; see module docstring)."""
-    return x.astype(jnp.float32)
-
-
-def _merge_both(rows3, norm_sd, src, dst, e_idx, e_ts, params: TpprParams):
+def _merge_both(fields3, norm_sd, src, dst, e_idx, e_ts, params: TpprParams):
     """Both SANTA update directions fused into one [2M, ·]-batched merge:
     lane 0 produces src's new row from (src ← dst), lane 1 dst's from
     (dst ← src). Mirrors reference util.py:509-564 with the branchless scale
     formulas (see module docstring); one sort call covers both lanes.
 
-    rows3 [3, M, 4, k] (src, dst, neg gathered rows), norm_sd [2, M].
-    Returns packed new rows [2, M, 4, k]."""
+    fields3 [3, M, 4, k] (src, dst, neg gathered rows), norm_sd [2, M].
+    Returns (new fields [2, M, 4, k], new norms [2, M])."""
     alpha, beta, k = params.alpha_arr, params.beta_arr, params.k
     m = alpha.shape[0]
     alpha2 = jnp.tile(alpha, 2)                            # [2M]
@@ -161,8 +173,8 @@ def _merge_both(rows3, norm_sd, src, dst, e_idx, e_ts, params: TpprParams):
 
     def lanes(field):
         # s1 rows for both directions: (src, dst); s2 rows: (dst, src)
-        s1 = rows3[:2, :, field].reshape(2 * m, -1)        # [2M, k]
-        s2 = rows3[jnp.asarray([1, 0]), :, field].reshape(2 * m, -1)
+        s1 = fields3[:2, :, field].reshape(2 * m, -1)      # [2M, k]
+        s2 = fields3[jnp.asarray([1, 0]), :, field].reshape(2 * m, -1)
         return s1, s2
 
     w1r, w2r = lanes(_W)
@@ -218,7 +230,7 @@ def _merge_both(rows3, norm_sd, src, dst, e_idx, e_ts, params: TpprParams):
     top_w = -neg_w[:, :k]
     live = top_w > 0
     z = jnp.float32(0)
-    packed = jnp.stack(
+    new_fields = jnp.stack(
         [
             jnp.where(live, top_w, z),
             jnp.where(live, s_nbr[:, :k], z),
@@ -227,17 +239,18 @@ def _merge_both(rows3, norm_sd, src, dst, e_idx, e_ts, params: TpprParams):
         ],
         axis=1,
     )                                                      # [2M, 4, k]
-    return packed.reshape(2, m, 4, k)
+    return new_fields.reshape(2, m, 4, k), new_norm.reshape(2, m)
 
 
 def edge_step(
     state: TpprState, src, dst, neg, e_ts, e_idx, valid, params: TpprParams
 ) -> Tuple[TpprState, jnp.ndarray]:
     """Extraction for (src, dst, neg) at the edge time from the pre-edge
-    state, then the SANTA update of both endpoints — one gather, one scatter.
+    state, then the SANTA update of both endpoints — one contiguous row
+    gather and one row scatter, fields and norms together.
 
-    The extraction output is the raw packed rows [3, M, 4, k]; callers unpack
-    to TpprQueries *outside* the sequential scan (``unpack_queries``) so the
+    The extraction output is the raw flat rows [3, F]; callers unpack to
+    TpprQueries *outside* the sequential scan (``unpack_queries``) so the
     loop body stays minimal.
 
     Both update directions read the pre-edge state (the reference computes
@@ -246,31 +259,35 @@ def edge_step(
     duplicate scatter is idempotent and the norm writes produce the same
     value — matching the reference's single-pair branch (util.py:501,
     572-574). Padding edges (valid == False) leave the state untouched."""
+    m, k = len(params.alpha), params.k
     sdn = jnp.stack([src, dst, neg])
-    rows3 = state.data[sdn]                  # [3, M, 4, k] one contiguous gather
-    norm_sd = state.norm[sdn[:2]]            # [2, M]
+    rows3 = state.data[sdn]                        # [3, F]
+    fields3, norm3 = _split_rows(rows3, m, k)
 
-    packed_new = _merge_both(rows3, norm_sd, src, dst, e_idx, e_ts, params)
-    packed_new = jnp.where(valid, packed_new, rows3[:2])
-    beta = params.beta_arr
-    new_norm = jnp.where(valid, norm_sd * beta + beta, norm_sd)
-
-    state = TpprState(
-        data=state.data.at[sdn[:2]].set(packed_new),
-        norm=state.norm.at[sdn[:2]].set(new_norm),
+    new_fields, new_norm = _merge_both(
+        fields3, norm3[:2], src, dst, e_idx, e_ts, params
     )
+    new_rows = jnp.concatenate(
+        [new_fields.reshape(2, 4 * m * k), new_norm], axis=1
+    )                                              # [2, F]
+    new_rows = jnp.where(valid, new_rows, rows3[:2])
+
+    state = TpprState(data=state.data.at[sdn[:2]].set(new_rows))
     return state, rows3
 
 
-def unpack_queries(rows3: jnp.ndarray, e_ts: jnp.ndarray) -> TpprQueries:
-    """Vectorized post-scan unpack: raw rows [E, 3, M, 4, k] + edge times [E]
+def unpack_queries(
+    rows3: jnp.ndarray, e_ts: jnp.ndarray, n_tppr: int, k: int
+) -> TpprQueries:
+    """Vectorized post-scan unpack: raw flat rows [E, 3, F] + edge times [E]
     → TpprQueries fields [E, M, 3, k]."""
+    fields, _ = _split_rows(rows3, n_tppr, k)      # [E, 3, M, 4, k]
     perm = (0, 2, 1, 3)
     return TpprQueries(
-        nbr=_i32(rows3[:, :, :, _NBR]).transpose(perm),
-        eidx=_i32(rows3[:, :, :, _EIDX]).transpose(perm),
-        dt=(e_ts[:, None, None, None] - rows3[:, :, :, _TS]).transpose(perm),
-        w=rows3[:, :, :, _W].transpose(perm),
+        nbr=_i32(fields[:, :, :, _NBR]).transpose(perm),
+        eidx=_i32(fields[:, :, :, _EIDX]).transpose(perm),
+        dt=(e_ts[:, None, None, None] - fields[:, :, :, _TS]).transpose(perm),
+        w=fields[:, :, :, _W].transpose(perm),
     )
 
 
@@ -294,7 +311,7 @@ def streaming_scan(
         return edge_step(carry, s, d, n, t, e, v, params)
 
     state, rows = jax.lax.scan(step, state, (src, dst, neg, e_ts, e_idx, valid))
-    return state, unpack_queries(rows, e_ts)
+    return state, unpack_queries(rows, e_ts, len(params.alpha), params.k)
 
 
 @functools.partial(jax.jit, static_argnames=("params",), donate_argnames=("state",))

@@ -43,15 +43,11 @@ def shard_memory(mem, mesh: Mesh, axis: str = "data"):
 
 
 def shard_index_state(state, mesh: Mesh, axis: str = "data"):
-    """Row-shard the packed T-PPR state over nodes (axis 0 of [N, M, 4, k])."""
+    """Row-shard the flat packed T-PPR state over nodes (axis 0 of [N, F])."""
     if state is None or state == ():
         return state
-    s4 = NamedSharding(mesh, P(axis, None, None, None))
     s2 = NamedSharding(mesh, P(axis, None))
-    return type(state)(
-        data=jax.device_put(state.data, s4),
-        norm=jax.device_put(state.norm, s2),
-    )
+    return type(state)(data=jax.device_put(state.data, s2))
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):

@@ -65,7 +65,7 @@ def _index_queries(cfg: Config, tppr_params: TpprParams, index_state,
         index_state, rows = jax.lax.scan(
             estep, index_state, (src, dst, neg, t, eidx, valid)
         )
-        q = unpack_queries(rows, t)
+        q = unpack_queries(rows, t, cfg.n_tppr, cfg.topk)
         # [b, M, 3, k] → [M, 3b, k] in src‖dst‖neg row order
         q = TpprQueries(
             *(
