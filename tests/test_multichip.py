@@ -52,7 +52,7 @@ def test_sharded_matches_single_device():
         rng = jax.random.PRNGKey(0)
         params, opt_state, mem, index_state, metrics = run_phase(
             cfg, train, n_batches, params, opt_state, mem, index_state, rng,
-            trainer.edge_feats, (), stream, trainer._pools["train"],
+            trainer.edge_feats, (), stream,
         )
         return (
             jax.tree.map(np.asarray, params),

@@ -20,16 +20,45 @@ def synthetic_stream(
     n_items: int,
     edge_dim: int = 0,
     seed: int = 0,
-    zipf_a: float = 1.3,
+    skew: float = 0.9,
 ) -> Tuple[Data, Optional[np.ndarray]]:
     """Return a chronological Data stream plus an edge-feature matrix of shape
-    ``[n_events + 1, edge_dim]`` (row 0 zero) or None when edge_dim == 0."""
-    rng = np.random.RandomState(seed)
+    ``[n_events + 1, edge_dim]`` (row 0 zero) or None when edge_dim == 0.
 
-    # Zipf-distributed node popularity, clipped into range, so the stream has
-    # the heavy repeat-interaction structure real temporal graphs have.
-    users = 1 + (rng.zipf(zipf_a, n_events) - 1) % n_users
-    items = 1 + n_users + (rng.zipf(zipf_a, n_events) - 1) % n_items
+    Node popularity follows a rank power law p_r ∝ (r+10)^-skew, calibrated
+    to real JODIE-style streams where the most active node carries on the
+    order of 0.5-2% of all events (a raw ``zipf`` draw concentrates 25%+ of
+    the stream on one node, which no reference dataset does). Users and items
+    carry latent communities and users pick in-community items 80% of the
+    time, so link prediction has learnable structure beyond popularity."""
+    rng = np.random.RandomState(seed)
+    n_comm = 8
+
+    def popularity(n_pop):
+        ranks = np.arange(n_pop, dtype=np.float64)
+        p = (ranks + 10.0) ** -skew
+        return p / p.sum()
+
+    user_pop = popularity(n_users)
+    item_pop = popularity(n_items)
+    user_comm = rng.randint(0, n_comm, n_users)
+    item_comm = rng.randint(0, n_comm, n_items)
+
+    users0 = rng.choice(n_users, size=n_events, p=user_pop)
+
+    # per-community item distributions (popularity within community)
+    items0 = np.zeros(n_events, np.int64)
+    in_comm = rng.rand(n_events) < 0.8
+    all_items = rng.choice(n_items, size=n_events, p=item_pop)
+    items0[~in_comm] = all_items[~in_comm]
+    for c in range(n_comm):
+        members = np.where(item_comm == c)[0]
+        pc = item_pop[members] / item_pop[members].sum()
+        sel = in_comm & (user_comm[users0] == c)
+        items0[sel] = members[rng.choice(len(members), size=int(sel.sum()), p=pc)]
+
+    users = 1 + users0
+    items = 1 + n_users + items0
 
     # strictly increasing timestamps with jittered gaps
     gaps = rng.exponential(1.0, n_events)

@@ -23,12 +23,13 @@ stopping epoch (params/memory from the best epoch's checkpoint), then
 inductive test from the val-end state again.
 
 Every phase is ONE fused jitted program (``zebra_tpu.train.phase.run_phase``)
-— negative sampling, index, towers, optimizer, and metrics all on device;
-streams upload once at construction. Negative-sample populations mirror the
-reference's samplers (train.py:140-144): train draws from the train stream's
-destinations, val/test from the full stream's, inductive test from its own
-(and inductive val reuses the val sampler, train.py:266); eval pools use
-fixed seeds so negatives are reproducible across epochs."""
+— index, towers, optimizer, and metrics all on device; streams upload once
+at construction. Negatives are drawn on host with the reference's sampler
+semantics (train.py:140-144, numpy RandomState seeds 0/2/3; inductive val
+reuses the val sampler, train.py:266): eval negatives are therefore fixed
+per phase and drawn once at construction, train negatives are redrawn every
+epoch — and being host-resident they feed the wave scheduler of the
+parallel index scan."""
 
 from __future__ import annotations
 
@@ -50,6 +51,7 @@ from zebra_tpu.models.memory import init_memory
 from zebra_tpu.models.tgn import init_tgn_params
 from zebra_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from zebra_tpu.train.early_stopping import EarlyStopMonitor
+from zebra_tpu.data.sampler import RandEdgeSampler
 from zebra_tpu.train.phase import Stream, run_phase
 from zebra_tpu.train.step import flush_pending_messages, make_optimizer
 
@@ -90,25 +92,32 @@ class Trainer:
         self.splits = splits
         self.edge_feats = jnp.asarray(edge_feats, jnp.float32)
 
-        # device-resident padded streams + negative pools, uploaded once
-        self._streams: Dict[str, Tuple[Stream, int]] = {}
-        for name, data in (
-            ("train", splits.train),
-            ("val", splits.val),
-            ("test", splits.test),
-            ("nn_val", splits.new_node_val),
-            ("nn_test", splits.new_node_test),
-        ):
-            self._streams[name] = self._upload_stream(data)
-
+        # samplers (reference train.py:140-144; inductive val reuses the val
+        # sampler, train.py:266)
         tr, fu = splits.train, splits.full
-        self._pools = {
-            "train": jnp.asarray(np.unique(tr.destinations), jnp.int32),
-            "full": jnp.asarray(np.unique(fu.destinations), jnp.int32),
-            "nn_test": jnp.asarray(
-                np.unique(splits.new_node_test.destinations), jnp.int32
-            ),
-        }
+        self.train_sampler = RandEdgeSampler(tr.sources, tr.destinations)
+        self.val_sampler = RandEdgeSampler(fu.sources, fu.destinations,
+                                           seed=SEED_VAL)
+        self.test_sampler = RandEdgeSampler(fu.sources, fu.destinations,
+                                            seed=SEED_TEST)
+        self.nn_test_sampler = RandEdgeSampler(
+            splits.new_node_test.sources, splits.new_node_test.destinations,
+            seed=SEED_NN_TEST,
+        )
+
+        # device-resident padded streams, uploaded once. Eval negatives are
+        # deterministic per phase (seeded sampler, reset before each pass —
+        # reference evaluation.py:9-10), so they are drawn once here; the
+        # train stream's negatives are redrawn every epoch.
+        self._streams: Dict[str, Tuple[Stream, int]] = {}
+        for name, data, sampler in (
+            ("train", splits.train, None),
+            ("val", splits.val, self.val_sampler),
+            ("test", splits.test, self.test_sampler),
+            ("nn_val", splits.new_node_val, self.val_sampler),
+            ("nn_test", splits.new_node_test, self.nn_test_sampler),
+        ):
+            self._streams[name] = self._upload_stream(data, sampler)
 
         # adjacency indices: pruning queries and the recursive towers use the
         # train graph during training and the full graph during val/test
@@ -149,8 +158,9 @@ class Trainer:
             return ()
         return init_tppr_state(cfg.n_tppr, cfg.n_nodes, cfg.topk)
 
-    def _upload_stream(self, data: Data) -> Tuple[Stream, int]:
-        """Pad a chronological stream to whole batches and upload."""
+    def _upload_stream(self, data: Data, sampler) -> Tuple[Stream, int]:
+        """Pad a chronological stream to whole batches and upload; draw the
+        phase's negatives when a seeded sampler is given."""
         bs = self.cfg.bs
         n = data.n_interactions
         n_batches = max(1, -(-n // bs))
@@ -160,9 +170,16 @@ class Trainer:
             a = np.asarray(a, dtype)
             return np.concatenate([a, np.zeros(pad, dtype)]) if pad else a
 
+        if sampler is not None and n > 0:
+            sampler.reset_random_state()
+            _, negs = sampler.sample(n)
+        else:
+            negs = np.zeros(n, np.int64)
+
         stream = Stream(
             src=jnp.asarray(p(data.sources, np.int32)),
             dst=jnp.asarray(p(data.destinations, np.int32)),
+            neg=jnp.asarray(p(negs, np.int32)),
             t=jnp.asarray(p(data.timestamps, np.float32)),
             eidx=jnp.asarray(p(data.edge_idxs, np.int32)),
             valid=jnp.asarray(
@@ -174,7 +191,6 @@ class Trainer:
     def _phase(
         self,
         stream_name: str,
-        pool_name: str,
         train: bool,
         index_state,
         nbr_index,
@@ -182,10 +198,17 @@ class Trainer:
     ) -> Tuple[TpprState, PhaseResult]:
         t0 = time.time()
         stream, n_batches = self._streams[stream_name]
+        if train:
+            # fresh negatives each training epoch (reference train.py:203)
+            n = self.splits.train.n_interactions
+            _, negs = self.train_sampler.sample(n)
+            pad = stream.src.shape[0] - n
+            negs = np.concatenate([negs, np.zeros(pad, negs.dtype)])
+            stream = stream._replace(neg=jnp.asarray(negs, jnp.int32))
         self.params, self.opt_state, self.mem, index_state, metrics = run_phase(
             self.cfg, train, n_batches,
             self.params, self.opt_state, self.mem, index_state,
-            rng, self.edge_feats, nbr_index, stream, self._pools[pool_name],
+            rng, self.edge_feats, nbr_index, stream,
         )
         ms = jax.tree.map(np.asarray, metrics)  # syncs the phase
         mean = [float(x.mean()) for x in (ms.loss, ms.ap, ms.auc, ms.acc)]
@@ -209,7 +232,7 @@ class Trainer:
         self.index_state = self._fresh_index()
         self.rng, rng = jax.random.split(self.rng)
         self.index_state, result = self._phase(
-            "train", "train", True, self.index_state, self.train_nbr_index, rng
+            "train", True, self.index_state, self.train_nbr_index, rng
         )
         return result
 
@@ -225,7 +248,7 @@ class Trainer:
         self.mem = flush_pending_messages(cfg, self.params, _copy(self.mem))
 
         self.index_state, trans = self._phase(
-            "val", "full", False, _copy(train_idx), self.full_nbr_index,
+            "val", False, _copy(train_idx), self.full_nbr_index,
             self._eval_rng(SEED_VAL),
         )
         val_mem, val_idx = self.mem, self.index_state
@@ -234,7 +257,7 @@ class Trainer:
         # sampler's seed (reference train.py:261-266)
         self.mem = _copy(train_mem)
         _, induct = self._phase(
-            "nn_val", "full", False, _copy(train_idx), self.full_nbr_index,
+            "nn_val", False, _copy(train_idx), self.full_nbr_index,
             self._eval_rng(SEED_VAL),
         )
 
@@ -248,13 +271,13 @@ class Trainer:
 
         self.mem = _copy(val_mem)  # run_phase donates self.mem
         self.index_state, trans = self._phase(
-            "test", "full", False, _copy(val_idx), self.full_nbr_index,
+            "test", False, _copy(val_idx), self.full_nbr_index,
             self._eval_rng(SEED_TEST),
         )
 
         self.mem = _copy(val_mem)
         _, induct = self._phase(
-            "nn_test", "nn_test", False, _copy(val_idx), self.full_nbr_index,
+            "nn_test", False, _copy(val_idx), self.full_nbr_index,
             self._eval_rng(SEED_NN_TEST),
         )
         return trans, induct

@@ -5,8 +5,8 @@ forward/backward → D2H metrics, reference train.py:195-227); on TPU every
 dispatch costs a host round trip, so here an entire phase — negative
 sampling, the sequential T-PPR index scan, the dense towers, the optimizer,
 the memory protocol, and the metrics — runs as a single ``lax.scan`` over
-batches inside one XLA program. The stream is uploaded once, negatives are
-drawn on device, and only the per-batch metric vectors come back to host.
+batches inside one XLA program. The stream (with host-sampled negatives) is
+uploaded once and only the per-batch metric vectors come back to host.
 
 Supports both index strategies as static config: ``streaming`` runs the
 SANTA inner scan per batch (extraction-before-update per edge preserved);
@@ -44,10 +44,15 @@ from zebra_tpu.train.step import (
 
 
 class Stream(NamedTuple):
-    """A phase's event stream, padded to n_batches·bs (leading axis flat)."""
+    """A phase's event stream, padded to n_batches·bs (leading axis flat).
+    Negatives are sampled on host per phase (train: fresh each epoch from the
+    train destinations; eval: fixed seeded draws — reference train.py:140-144,
+    evaluation.py:9-10) so the host-side wave scheduler can account for their
+    extraction reads."""
 
     src: jnp.ndarray    # i32 [E]
     dst: jnp.ndarray    # i32 [E]
+    neg: jnp.ndarray    # i32 [E] negative-sample node per event
     t: jnp.ndarray      # f32 [E]
     eidx: jnp.ndarray   # i32 [E]
     valid: jnp.ndarray  # bool [E]
@@ -107,7 +112,6 @@ def run_phase(
     edge_feats: jnp.ndarray,
     nbr_index,              # NeighborIndex (pruning) or () (streaming)
     stream: Stream,         # arrays [n_batches*bs]
-    neg_pool: jnp.ndarray,  # i32 [P] negative-sample population (unique dsts)
 ) -> Tuple[Any, Any, MemoryState, Any, StepMetrics]:
     """One full pass over a stream. Returns per-batch metrics [n_batches]."""
     b = stream.src.shape[0] // n_batches
@@ -130,11 +134,9 @@ def run_phase(
 
     def batch_body(carry, s: Stream):
         params, opt_state, mem, index_state, rng = carry
-        rng, k_neg, k_drop = jax.random.split(rng, 3)
+        rng, k_drop = jax.random.split(rng)
+        neg = s.neg
 
-        neg = neg_pool[
-            jax.random.randint(k_neg, (b,), 0, neg_pool.shape[0])
-        ]
         if cfg.embedding_module == "diffusion":
             index_state, q = _index_queries(
                 cfg, tppr_params, index_state, nbr_index,
