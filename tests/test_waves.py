@@ -1,0 +1,114 @@
+"""Wave-parallel SANTA scan: schedule validity and bit-exact equivalence
+with the sequential edge scan."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from zebra_tpu.index.streaming import (
+    TpprParams,
+    init_tppr_state,
+    streaming_scan,
+    unpack_queries,
+)
+from zebra_tpu.index.waves import (
+    build_wave_plan,
+    wave_queries_packed,
+    wave_scan,
+)
+from zebra_tpu.native.ingest import wave_schedule
+
+
+def random_stream(n_events, n_nodes, seed):
+    rng = np.random.RandomState(seed)
+    src = rng.randint(1, n_nodes, n_events).astype(np.int32)
+    dst = rng.randint(1, n_nodes, n_events).astype(np.int32)
+    neg = rng.randint(1, n_nodes, n_events).astype(np.int32)
+    ts = np.cumsum(rng.exponential(1.0, n_events)).astype(np.float32)
+    eidx = np.arange(1, n_events + 1, dtype=np.int32)
+    return src, dst, neg, ts, eidx
+
+
+def test_schedule_respects_dependencies():
+    """The real invariant: executing waves in order (within a wave all reads
+    precede all writes) must make every edge observe exactly the node
+    versions it observes under sequential execution."""
+    n_nodes, e, cap = 50, 500, 8
+    src, dst, neg, ts, eidx = random_stream(e, n_nodes, seed=0)
+    wave, slot, n_waves = wave_schedule(src, dst, neg, n_nodes, cap)
+    assert slot.max() < cap
+    assert np.bincount(wave).max() <= cap
+
+    # sequential versions read by each edge
+    ver = np.zeros(n_nodes, np.int64)
+    seq_reads = np.zeros((e, 3), np.int64)
+    for i in range(e):
+        seq_reads[i] = [ver[src[i]], ver[dst[i]], ver[neg[i]]]
+        ver[src[i]] += 1
+        ver[dst[i]] += 1
+
+    # wave-order versions
+    ver = np.zeros(n_nodes, np.int64)
+    wave_reads = np.zeros((e, 3), np.int64)
+    for w in range(n_waves):
+        idx = np.where(wave == w)[0]
+        for i in idx:  # reads first
+            wave_reads[i] = [ver[src[i]], ver[dst[i]], ver[neg[i]]]
+        writes = np.concatenate([src[idx], dst[idx]])
+        # disjoint writes inside a wave (self-loop double-count aside)
+        both = [(s, d) for s, d in zip(src[idx], dst[idx])]
+        flat = [v for s, d in both for v in ((s,) if s == d else (s, d))]
+        assert len(set(flat)) == len(flat), f"write collision in wave {w}"
+        for i in idx:  # then writes
+            ver[src[i]] += 1
+            ver[dst[i]] += 1
+
+    np.testing.assert_array_equal(wave_reads, seq_reads)
+
+
+def test_wave_scan_bit_exact_vs_sequential():
+    n_nodes, e = 40, 600
+    src, dst, neg, ts, eidx = random_stream(e, n_nodes, seed=3)
+    params = TpprParams.create((0.1, 0.2), (0.9, 0.8), 6)
+
+    s_seq = init_tppr_state(2, n_nodes, 6)
+    s_seq, q_seq = streaming_scan(
+        s_seq, params, src, dst, neg, ts, eidx, np.ones(e, bool)
+    )
+
+    plan = build_wave_plan(src, dst, neg, ts, eidx, n_nodes, cap=8,
+                           wave_bucket=16)
+    s_wav = init_tppr_state(2, n_nodes, 6)
+    s_wav, rows = wave_scan(
+        s_wav, params, plan.src, plan.dst, plan.neg, plan.t, plan.eidx,
+        plan.valid,
+    )
+    packed = wave_queries_packed(rows, plan.perm)
+    q_wav = unpack_queries(packed, jnp.asarray(ts), 2, 6)
+
+    np.testing.assert_array_equal(
+        np.asarray(s_seq.data), np.asarray(s_wav.data),
+        err_msg="state diverges",
+    )
+    for a, b in zip(q_seq, q_wav):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg="queries diverge")
+
+
+def test_wave_plan_with_self_loops():
+    params = TpprParams.create((0.2,), (0.7,), 4)
+    src = np.array([1, 2, 2, 3], np.int32)
+    dst = np.array([2, 2, 3, 1], np.int32)  # includes a self-loop (2,2)
+    neg = np.array([3, 1, 1, 2], np.int32)
+    ts = np.array([1.0, 2.0, 3.0, 4.0], np.float32)
+    eidx = np.array([1, 2, 3, 4], np.int32)
+
+    s_seq = init_tppr_state(1, 5, 4)
+    s_seq, _ = streaming_scan(s_seq, params, src, dst, neg, ts, eidx,
+                              np.ones(4, bool))
+    plan = build_wave_plan(src, dst, neg, ts, eidx, 5, cap=4, wave_bucket=4)
+    s_wav = init_tppr_state(1, 5, 4)
+    s_wav, _ = wave_scan(s_wav, params, plan.src, plan.dst, plan.neg,
+                         plan.t, plan.eidx, plan.valid)
+    np.testing.assert_array_equal(np.asarray(s_seq.data), np.asarray(s_wav.data))

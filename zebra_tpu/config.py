@@ -68,7 +68,8 @@ class Config:
 
     # ---- parallelism (new; no reference analogue, SURVEY.md §2 row 26) ----
     n_devices: int = 0               # 0 = use all visible devices (data axis)
-    index_chunk: int = 4096          # edges per jitted index-scan chunk
+    index_chunk: int = 65536         # events per wave-pipeline superchunk
+    wave_cap: int = 64               # max edges per wave (static lane count)
 
     # ---- filled from data at runtime ----
     n_nodes: int = 0                 # max node id + 1 (ids are 1-based; 0 = padding)
@@ -148,7 +149,8 @@ class Config:
         p.add_argument("--time_dim", type=int, default=100)
         p.add_argument("--memory_dim", type=int, default=100)
         p.add_argument("--n_devices", type=int, default=0)
-        p.add_argument("--index_chunk", type=int, default=4096)
+        p.add_argument("--index_chunk", type=int, default=65536)
+        p.add_argument("--wave_cap", type=int, default=64)
         return p
 
     @classmethod

@@ -192,3 +192,47 @@ void zt_free(ZtEvents* h) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Wave scheduling for the parallel streaming T-PPR scan.
+//
+// The SANTA update is sequential per node: edge i must observe the writes of
+// every earlier edge that touched src/dst/neg of i. Edges with pairwise
+// disjoint nodes can process in one parallel "wave" (all reads precede all
+// writes inside a wave, so WAR pairs are safe; RAW/WAW pairs must cross
+// waves). Greedy assignment with two per-node clocks:
+//
+//   wave(i) ≥ 1 + last_write[v]  for v in {src, dst, neg}   (RAW/WAW)
+//   wave(i) ≥ last_read[v]       for v in {src, dst}        (WAR: a write
+//       may share the reader's wave — reads precede writes — but must not
+//       precede it)
+//
+// bumped past full waves (capacity keeps the device-side wave shape
+// static); then last_write[src|dst] = wave(i) and last_read[src|dst|neg]
+// advances to wave(i). The result is bit-exact with the sequential scan by
+// construction.
+
+extern "C" int64_t zt_wave_schedule(
+    const int32_t* src, const int32_t* dst, const int32_t* neg, int64_t n,
+    int64_t n_nodes, int32_t cap, int32_t* wave_out, int32_t* slot_out) {
+  std::vector<int32_t> last_write(static_cast<size_t>(n_nodes), -1);
+  std::vector<int32_t> last_read(static_cast<size_t>(n_nodes), 0);
+  std::vector<int32_t> count;  // edges per wave
+  count.reserve(1024);
+  int32_t n_waves = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t w = 1 + std::max(
+        {last_write[src[i]], last_write[dst[i]], last_write[neg[i]]});
+    w = std::max({w, last_read[src[i]], last_read[dst[i]]});
+    while (w < static_cast<int32_t>(count.size()) && count[w] >= cap) w++;
+    if (w >= static_cast<int32_t>(count.size())) count.resize(w + 1, 0);
+    wave_out[i] = w;
+    slot_out[i] = count[w]++;
+    last_write[src[i]] = w;
+    last_write[dst[i]] = w;
+    for (int32_t v : {src[i], dst[i], neg[i]})
+      if (w > last_read[v]) last_read[v] = w;
+    if (w + 1 > n_waves) n_waves = w + 1;
+  }
+  return n_waves;
+}

@@ -142,3 +142,57 @@ def _load_events_python(path, fmt, sort_by_time, compact_ids) -> EventColumns:
         u = np.searchsorted(all_ids, u)
         i = np.searchsorted(all_ids, i)
     return EventColumns(u, i, ts, label, feat)
+
+
+def wave_schedule(src, dst, neg, n_nodes: int, cap: int):
+    """Greedy dependency-respecting wave assignment for the parallel SANTA
+    scan (see ingest.cc zt_wave_schedule): returns (wave[i], slot[i],
+    n_waves) with wave sizes ≤ cap; edges within a wave are pairwise
+    node-disjoint and every cross-wave data dependency is respected, so the
+    wave-parallel scan is bit-exact with the sequential one."""
+    src = np.ascontiguousarray(src, np.int32)
+    dst = np.ascontiguousarray(dst, np.int32)
+    neg = np.ascontiguousarray(neg, np.int32)
+    n = len(src)
+    wave = np.empty(n, np.int32)
+    slot = np.empty(n, np.int32)
+
+    lib = _get_lib()
+    if lib is not None:
+        if not hasattr(lib, "_wave_ready"):
+            lib.zt_wave_schedule.restype = ctypes.c_int64
+            lib.zt_wave_schedule.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib._wave_ready = True
+        ptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        n_waves = lib.zt_wave_schedule(
+            ptr(src), ptr(dst), ptr(neg), n, n_nodes, cap, ptr(wave), ptr(slot)
+        )
+        return wave, slot, int(n_waves)
+
+    # pure-python fallback (slow; tests only)
+    last_write = np.full(n_nodes, -1, np.int64)
+    last_read = np.zeros(n_nodes, np.int64)
+    counts: list = []
+    n_waves = 0
+    for i in range(n):
+        w = int(max(last_write[src[i]], last_write[dst[i]], last_write[neg[i]])) + 1
+        w = max(w, int(last_read[src[i]]), int(last_read[dst[i]]))
+        while w < len(counts) and counts[w] >= cap:
+            w += 1
+        if w >= len(counts):
+            counts.extend([0] * (w + 1 - len(counts)))
+        wave[i] = w
+        slot[i] = counts[w]
+        counts[w] += 1
+        last_write[src[i]] = w
+        last_write[dst[i]] = w
+        for v in (src[i], dst[i], neg[i]):
+            if w > last_read[v]:
+                last_read[v] = w
+        n_waves = max(n_waves, w + 1)
+    return wave, slot, n_waves

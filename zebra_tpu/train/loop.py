@@ -52,6 +52,8 @@ from zebra_tpu.models.tgn import init_tgn_params
 from zebra_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from zebra_tpu.train.early_stopping import EarlyStopMonitor
 from zebra_tpu.data.sampler import RandEdgeSampler
+from zebra_tpu.index.streaming import TpprParams
+from zebra_tpu.index.waves import build_wave_plan, wave_scan
 from zebra_tpu.train.phase import Stream, run_phase
 from zebra_tpu.train.step import flush_pending_messages, make_optimizer
 
@@ -105,11 +107,13 @@ class Trainer:
             seed=SEED_NN_TEST,
         )
 
-        # device-resident padded streams, uploaded once. Eval negatives are
-        # deterministic per phase (seeded sampler, reset before each pass —
-        # reference evaluation.py:9-10), so they are drawn once here; the
-        # train stream's negatives are redrawn every epoch.
+        # device-resident padded streams, uploaded once, plus host (numpy)
+        # copies feeding the wave scheduler. Eval negatives are deterministic
+        # per phase (seeded sampler, reset before each pass — reference
+        # evaluation.py:9-10), so they are drawn once here; the train
+        # stream's negatives are redrawn every epoch.
         self._streams: Dict[str, Tuple[Stream, int]] = {}
+        self._host_streams: Dict[str, Dict[str, np.ndarray]] = {}
         for name, data, sampler in (
             ("train", splits.train, None),
             ("val", splits.val, self.val_sampler),
@@ -118,6 +122,11 @@ class Trainer:
             ("nn_test", splits.new_node_test, self.nn_test_sampler),
         ):
             self._streams[name] = self._upload_stream(data, sampler)
+            st = self._streams[name][0]
+            self._host_streams[name] = {
+                f: np.asarray(getattr(st, f))
+                for f in ("src", "dst", "neg", "t", "eidx", "valid")
+            }
 
         # adjacency indices: pruning queries and the recursive towers use the
         # train graph during training and the full graph during val/test
@@ -135,6 +144,9 @@ class Trainer:
         else:
             self.train_nbr_index = self.full_nbr_index = ()
 
+        self._tppr_params = TpprParams.create(
+            cfg.alpha_list, cfg.beta_list, cfg.topk
+        )
         self.rng = jax.random.PRNGKey(cfg.seed)
         if not cfg.enable_random:
             np.random.seed(cfg.seed)
@@ -197,20 +209,68 @@ class Trainer:
         rng,
     ) -> Tuple[TpprState, PhaseResult]:
         t0 = time.time()
+        cfg = self.cfg
         stream, n_batches = self._streams[stream_name]
+        host = self._host_streams[stream_name]
         if train:
             # fresh negatives each training epoch (reference train.py:203)
             n = self.splits.train.n_interactions
             _, negs = self.train_sampler.sample(n)
             pad = stream.src.shape[0] - n
-            negs = np.concatenate([negs, np.zeros(pad, negs.dtype)])
-            stream = stream._replace(neg=jnp.asarray(negs, jnp.int32))
-        self.params, self.opt_state, self.mem, index_state, metrics = run_phase(
-            self.cfg, train, n_batches,
-            self.params, self.opt_state, self.mem, index_state,
-            rng, self.edge_feats, nbr_index, stream,
+            negs = np.concatenate([negs, np.zeros(pad, negs.dtype)]).astype(np.int32)
+            stream = stream._replace(neg=jnp.asarray(negs))
+            host = dict(host, neg=negs)
+
+        use_waves = (
+            cfg.embedding_module == "diffusion"
+            and cfg.tppr_strategy == "streaming"
         )
-        ms = jax.tree.map(np.asarray, metrics)  # syncs the phase
+        if not use_waves:
+            self.params, self.opt_state, self.mem, index_state, metrics = run_phase(
+                cfg, train, n_batches,
+                self.params, self.opt_state, self.mem, index_state,
+                rng, self.edge_feats, nbr_index, stream,
+            )
+            ms = jax.tree.map(np.asarray, metrics)  # syncs the phase
+        else:
+            # wave-parallel pipeline: per superchunk, schedule on host, run
+            # the batched index scan, then the fused train/eval scan over
+            # that chunk's batches with precomputed queries.
+            total = stream.src.shape[0]
+            chunk = max(cfg.bs, (cfg.index_chunk // cfg.bs) * cfg.bs)
+            all_metrics = []
+            for ci, lo in enumerate(range(0, total, chunk)):
+                hi = min(lo + chunk, total)
+                v = host["valid"][lo:hi]
+                plan = build_wave_plan(
+                    host["src"][lo:hi][v], host["dst"][lo:hi][v],
+                    host["neg"][lo:hi][v], host["t"][lo:hi][v],
+                    host["eidx"][lo:hi][v], cfg.n_nodes, cap=cfg.wave_cap,
+                )
+                index_state, rows = wave_scan(
+                    index_state, self._tppr_params, plan.src, plan.dst,
+                    plan.neg, plan.t, plan.eidx, plan.valid,
+                )
+                # stream-order packed queries; invalid positions point at an
+                # appended zero row (their consumers are masked anyway)
+                flat = rows.reshape(-1, 3, rows.shape[-1])
+                flat = jnp.concatenate(
+                    [flat, jnp.zeros((1,) + flat.shape[1:], flat.dtype)]
+                )
+                perm = np.full(hi - lo, flat.shape[0] - 1, np.int32)
+                perm[v] = np.asarray(plan.perm)
+                queries = flat[jnp.asarray(perm)]
+
+                chunk_stream = jax.tree.map(lambda x: x[lo:hi], stream)
+                self.params, self.opt_state, self.mem, _, metrics = run_phase(
+                    cfg, train, (hi - lo) // cfg.bs,
+                    self.params, self.opt_state, self.mem, (),
+                    jax.random.fold_in(rng, ci), self.edge_feats, nbr_index,
+                    chunk_stream, queries,
+                )
+                all_metrics.append(jax.tree.map(np.asarray, metrics))
+            ms = jax.tree.map(lambda *xs: np.concatenate(xs), *all_metrics)
+
         mean = [float(x.mean()) for x in (ms.loss, ms.ap, ms.auc, ms.acc)]
         return index_state, PhaseResult(
             loss=mean[0], ap=mean[1], auc=mean[2], acc=mean[3],

@@ -112,12 +112,19 @@ def run_phase(
     edge_feats: jnp.ndarray,
     nbr_index,              # NeighborIndex (pruning) or () (streaming)
     stream: Stream,         # arrays [n_batches*bs]
+    queries=None,           # packed query rows f32 [n_batches*bs, 3, F] from
+                            # the wave-parallel index scan, or None to run
+                            # the index inside this program
 ) -> Tuple[Any, Any, MemoryState, Any, StepMetrics]:
     """One full pass over a stream. Returns per-batch metrics [n_batches]."""
     b = stream.src.shape[0] // n_batches
     tppr_params = TpprParams.create(cfg.alpha_list, cfg.beta_list, cfg.topk)
     opt = make_optimizer(cfg)
     xs = jax.tree.map(lambda x: x.reshape(n_batches, b), stream)
+    if queries is not None:
+        xs = (xs, queries.reshape((n_batches, b) + queries.shape[1:]))
+    else:
+        xs = (xs, None)
 
     def loss_fn(p, mem, s, q, drop_rng, nodes3, times3, valid):
         emb = _forward(cfg, p, mem, edge_feats, nodes3, times3, q, nbr_index,
@@ -132,18 +139,29 @@ def run_phase(
         loss = _masked_mean(bce_pos, valid) + _masked_mean(bce_neg, valid)
         return loss, (jax.nn.sigmoid(pos_logit), jax.nn.sigmoid(neg_logit))
 
-    def batch_body(carry, s: Stream):
+    def batch_body(carry, xs_item):
+        s, q_rows = xs_item
         params, opt_state, mem, index_state, rng = carry
         rng, k_drop = jax.random.split(rng)
         neg = s.neg
 
-        if cfg.embedding_module == "diffusion":
+        if cfg.embedding_module != "diffusion":
+            q = None  # recursive/identity/time towers query the graph directly
+        elif q_rows is not None:
+            # precomputed by the wave-parallel scan: unpack + lay out as
+            # [M, 3b, k] in src‖dst‖neg row order
+            q = unpack_queries(q_rows, s.t, cfg.n_tppr, cfg.topk)
+            q = TpprQueries(
+                *(
+                    x.transpose(1, 2, 0, 3).reshape(x.shape[1], 3 * b, x.shape[3])
+                    for x in q
+                )
+            )
+        else:
             index_state, q = _index_queries(
                 cfg, tppr_params, index_state, nbr_index,
                 s.src, s.dst, neg, s.t, s.eidx, s.valid,
             )
-        else:
-            q = None  # recursive/identity/time towers query the graph directly
         nodes3 = jnp.concatenate([s.src, s.dst, neg])
         times3 = jnp.concatenate([s.t, s.t, s.t])
         positives = jnp.concatenate([s.src, s.dst])
