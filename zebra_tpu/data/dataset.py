@@ -148,6 +148,11 @@ def split_data(
             edge_idxs[mask], labels[mask],
         )
 
+    # The reference reports the unique-node count (train.py:123-124), which
+    # sizes state tables correctly only because its preprocessors compact ids;
+    # we size by the largest id actually present so sparse id spaces cannot
+    # index out of bounds.
+    max_id = int(max(sources.max(), destinations.max()))
     return DatasetSplits(
         full=full_data,
         train=train_data,
@@ -155,7 +160,7 @@ def split_data(
         test=take(test_mask),
         new_node_val=take(new_node_val_mask),
         new_node_test=take(new_node_test_mask),
-        n_nodes=n_total_unique_nodes,
+        n_nodes=max(max_id, n_total_unique_nodes),
         n_edges=n_edges,
     )
 

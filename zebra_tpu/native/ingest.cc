@@ -221,6 +221,10 @@ extern "C" int64_t zt_wave_schedule(
   count.reserve(1024);
   int32_t n_waves = 0;
   for (int64_t i = 0; i < n; ++i) {
+    if (src[i] < 0 || src[i] >= n_nodes || dst[i] < 0 || dst[i] >= n_nodes ||
+        neg[i] < 0 || neg[i] >= n_nodes) {
+      return -1;  // id out of range: refuse rather than corrupt memory
+    }
     int32_t w = 1 + std::max(
         {last_write[src[i]], last_write[dst[i]], last_write[neg[i]]});
     w = std::max({w, last_read[src[i]], last_read[dst[i]]});

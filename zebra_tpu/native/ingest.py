@@ -172,6 +172,10 @@ def wave_schedule(src, dst, neg, n_nodes: int, cap: int):
         n_waves = lib.zt_wave_schedule(
             ptr(src), ptr(dst), ptr(neg), n, n_nodes, cap, ptr(wave), ptr(slot)
         )
+        if n_waves < 0:
+            raise ValueError(
+                f"wave_schedule: node id out of range [0, {n_nodes})"
+            )
         return wave, slot, int(n_waves)
 
     # pure-python fallback (slow; tests only)
