@@ -12,11 +12,7 @@ from zebra_tpu.index.streaming import (
     streaming_scan,
     unpack_queries,
 )
-from zebra_tpu.index.waves import (
-    build_wave_plan,
-    wave_queries_packed,
-    wave_scan,
-)
+from zebra_tpu.index.waves import wave_flat_index, wave_scan_chunk
 from zebra_tpu.native.ingest import wave_schedule
 
 
@@ -55,8 +51,6 @@ def test_schedule_respects_dependencies():
         idx = np.where(wave == w)[0]
         for i in idx:  # reads first
             wave_reads[i] = [ver[src[i]], ver[dst[i]], ver[neg[i]]]
-        writes = np.concatenate([src[idx], dst[idx]])
-        # disjoint writes inside a wave (self-loop double-count aside)
         both = [(s, d) for s, d in zip(src[idx], dst[idx])]
         flat = [v for s, d in both for v in ((s,) if s == d else (s, d))]
         assert len(set(flat)) == len(flat), f"write collision in wave {w}"
@@ -77,15 +71,23 @@ def test_wave_scan_bit_exact_vs_sequential():
         s_seq, params, src, dst, neg, ts, eidx, np.ones(e, bool)
     )
 
-    plan = build_wave_plan(src, dst, neg, ts, eidx, n_nodes, cap=8,
-                           wave_bucket=16)
+    # include some invalid tail edges to exercise the sentinel path
+    pad = 13
+    def padded(a):
+        return np.concatenate([a, np.zeros(pad, a.dtype)])
+    valid = np.concatenate([np.ones(e, bool), np.zeros(pad, bool)])
+
+    flat_valid, n_waves = wave_flat_index(src, dst, neg, n_nodes, cap=8,
+                                          wave_bucket=16)
+    flat = np.full(e + pad, n_waves * 8, np.int32)
+    flat[:e] = flat_valid
+
     s_wav = init_tppr_state(2, n_nodes, 6)
-    s_wav, rows = wave_scan(
-        s_wav, params, plan.src, plan.dst, plan.neg, plan.t, plan.eidx,
-        plan.valid,
+    s_wav, packed = wave_scan_chunk(
+        s_wav, params, padded(src), padded(dst), padded(neg), padded(ts),
+        padded(eidx), valid, jnp.asarray(flat), n_waves, 8,
     )
-    packed = wave_queries_packed(rows, plan.perm)
-    q_wav = unpack_queries(packed, jnp.asarray(ts), 2, 6)
+    q_wav = unpack_queries(packed[:e], jnp.asarray(ts), 2, 6)
 
     np.testing.assert_array_equal(
         np.asarray(s_seq.data), np.asarray(s_wav.data),
@@ -94,9 +96,11 @@ def test_wave_scan_bit_exact_vs_sequential():
     for a, b in zip(q_seq, q_wav):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg="queries diverge")
+    # unscheduled edges emit zero rows
+    np.testing.assert_array_equal(np.asarray(packed[e:]), 0.0)
 
 
-def test_wave_plan_with_self_loops():
+def test_wave_scan_with_self_loops():
     params = TpprParams.create((0.2,), (0.7,), 4)
     src = np.array([1, 2, 2, 3], np.int32)
     dst = np.array([2, 2, 3, 1], np.int32)  # includes a self-loop (2,2)
@@ -107,8 +111,10 @@ def test_wave_plan_with_self_loops():
     s_seq = init_tppr_state(1, 5, 4)
     s_seq, _ = streaming_scan(s_seq, params, src, dst, neg, ts, eidx,
                               np.ones(4, bool))
-    plan = build_wave_plan(src, dst, neg, ts, eidx, 5, cap=4, wave_bucket=4)
+    flat, n_waves = wave_flat_index(src, dst, neg, 5, cap=4, wave_bucket=4)
     s_wav = init_tppr_state(1, 5, 4)
-    s_wav, _ = wave_scan(s_wav, params, plan.src, plan.dst, plan.neg,
-                         plan.t, plan.eidx, plan.valid)
+    s_wav, _ = wave_scan_chunk(
+        s_wav, params, src, dst, neg, ts, eidx, np.ones(4, bool),
+        jnp.asarray(flat), n_waves, 4,
+    )
     np.testing.assert_array_equal(np.asarray(s_seq.data), np.asarray(s_wav.data))

@@ -10,19 +10,22 @@ Within a wave all reads precede all writes, and every read-after-write /
 write-after-write pair crosses a wave boundary, so the result is bit-exact
 with the sequential edge scan (tested) — while the per-step VPU work is
 ``cap``-way batched, amortizing the small-op overhead that dominates the
-sequential scan.
+sequential scan (~6× on one chip).
 
-On streams with realistic activity skew (hottest node ~1% of events) mean
-wave occupancy is near the capacity; the wave count is bounded below by the
-hottest node's degree (its updates can never parallelize).
+On streams with realistic activity skew (hottest node ~1% of events) wave
+occupancy is near capacity; the wave count is bounded below by the hottest
+node's degree (its updates can never parallelize).
 
-Extraction outputs are emitted as raw packed rows per wave slot and
-re-ordered to stream order afterwards with the scheduler's permutation."""
+Host↔device traffic is one int32 slot index per edge: the schedule is
+communicated as ``flat[i] = wave·cap + lane``, and the device program
+scatters the (already resident) stream into wave layout, scans, and gathers
+the emitted rows back to stream order — all inside a single jit, because on
+tunneled TPU deployments each host dispatch costs tens of milliseconds."""
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,62 +39,22 @@ from zebra_tpu.index.streaming import (
 )
 
 
-class WavePlan(NamedTuple):
-    """Host-built schedule for one stream chunk (device arrays [n_waves, W])."""
-
-    src: jnp.ndarray    # i32
-    dst: jnp.ndarray    # i32
-    neg: jnp.ndarray    # i32
-    t: jnp.ndarray      # f32
-    eidx: jnp.ndarray   # i32
-    valid: jnp.ndarray  # bool
-    perm: jnp.ndarray   # i32 [E] flat slot (wave*W + lane) of each edge
-    n_waves: int
-
-
-def build_wave_plan(
-    src, dst, neg, t, eidx, n_nodes: int, cap: int = 64,
-    wave_bucket: int = 256,
-) -> WavePlan:
-    """Schedule a chunk (host) and lay the edges out as padded wave arrays.
+def wave_flat_index(
+    src, dst, neg, n_nodes: int, cap: int = 64, wave_bucket: int = 256
+) -> Tuple[np.ndarray, int]:
+    """Host scheduling: returns (flat slot per edge [E] i32, n_waves).
     ``n_waves`` rounds up to a multiple of ``wave_bucket`` so only a few
     distinct shapes ever compile."""
     from zebra_tpu.native.ingest import wave_schedule
 
-    src = np.ascontiguousarray(src, np.int32)
-    dst = np.ascontiguousarray(dst, np.int32)
-    neg = np.ascontiguousarray(neg, np.int32)
-    t = np.ascontiguousarray(t, np.float32)
-    eidx = np.ascontiguousarray(eidx, np.int32)
-
     wave, slot, n_waves = wave_schedule(src, dst, neg, n_nodes, cap)
     n_waves = max(wave_bucket, -(-n_waves // wave_bucket) * wave_bucket)
-
-    flat = wave.astype(np.int64) * cap + slot
-    total = n_waves * cap
-
-    def scatter(a, dtype):
-        out = np.zeros(total, dtype)
-        out[flat] = a
-        return out.reshape(n_waves, cap)
-
-    valid = np.zeros(total, bool)
-    valid[flat] = True
-
-    return WavePlan(
-        src=jnp.asarray(scatter(src, np.int32)),
-        dst=jnp.asarray(scatter(dst, np.int32)),
-        neg=jnp.asarray(scatter(neg, np.int32)),
-        t=jnp.asarray(scatter(t, np.float32)),
-        eidx=jnp.asarray(scatter(eidx, np.int32)),
-        valid=jnp.asarray(valid.reshape(n_waves, cap)),
-        perm=jnp.asarray(flat, jnp.int32),
-        n_waves=int(n_waves),
-    )
+    flat = wave.astype(np.int32) * cap + slot
+    return flat, int(n_waves)
 
 
-def wave_step(state: TpprState, src, dst, neg, t, eidx, valid,
-              params: TpprParams) -> Tuple[TpprState, jnp.ndarray]:
+def _wave_step(state: TpprState, src, dst, neg, t, eidx, valid,
+               params: TpprParams) -> Tuple[TpprState, jnp.ndarray]:
     """One wave: batched extraction + SANTA update for up to W disjoint
     edges. Returns raw packed rows [W, 3, F] (pre-update, = extraction)."""
     m, k = len(params.alpha), params.k
@@ -123,26 +86,62 @@ def wave_step(state: TpprState, src, dst, neg, t, eidx, valid,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("params",), donate_argnames=("state",)
+    jax.jit,
+    static_argnames=("params", "n_waves", "cap"),
+    donate_argnames=("state",),
 )
-def wave_scan(
-    state: TpprState, params: TpprParams, plan_src, plan_dst, plan_neg,
-    plan_t, plan_eidx, plan_valid,
+def wave_scan_chunk(
+    state: TpprState,
+    params: TpprParams,
+    src: jnp.ndarray,    # i32 [E] stream chunk (device-resident)
+    dst: jnp.ndarray,
+    neg: jnp.ndarray,
+    t: jnp.ndarray,      # f32 [E]
+    eidx: jnp.ndarray,   # i32 [E]
+    valid: jnp.ndarray,  # bool [E]
+    flat: jnp.ndarray,   # i32 [E] wave·cap + lane per edge (sentinel ≥ total
+                         #          for edges excluded from scheduling)
+    n_waves: int,
+    cap: int,
 ) -> Tuple[TpprState, jnp.ndarray]:
-    """Scan the wave axis. Returns raw rows [n_waves, W, 3, F]."""
+    """Scatter the chunk into wave layout, scan the waves, and gather the
+    emitted extraction rows back to stream order. One XLA program.
 
-    def step(carry, wv):
-        s, d, n, t, e, v = wv
-        return wave_step(carry, s, d, n, t, e, v, params)
+    Returns (state, packed query rows [E, 3, F]); rows of unscheduled
+    (invalid) edges are zero."""
+    total = n_waves * cap
 
-    return jax.lax.scan(
-        step, state,
-        (plan_src, plan_dst, plan_neg, plan_t, plan_eidx, plan_valid),
+    def to_waves(x, fill=0):
+        return (
+            jnp.full((total,), fill, x.dtype)
+            .at[flat]
+            .set(jnp.where(valid, x, fill), mode="drop")
+            .reshape(n_waves, cap)
+        )
+
+    w_src = to_waves(src)
+    w_dst = to_waves(dst)
+    w_neg = to_waves(neg)
+    w_t = to_waves(t)
+    w_eidx = to_waves(eidx)
+    w_valid = (
+        jnp.zeros((total,), bool)
+        .at[jnp.where(valid, flat, total)]
+        .set(True, mode="drop")
+        .reshape(n_waves, cap)
     )
 
+    def step(carry, wv):
+        s, d, n, tt, e, v = wv
+        return _wave_step(carry, s, d, n, tt, e, v, params)
 
-def wave_queries_packed(rows: jnp.ndarray, plan_perm: jnp.ndarray) -> jnp.ndarray:
-    """Reorder emitted wave rows to stream order: [n_waves, W, 3, F] + perm
-    [E] → packed query rows [E, 3, F]."""
-    flat = rows.reshape(-1, rows.shape[2], rows.shape[3])
-    return flat[plan_perm]
+    state, rows = jax.lax.scan(
+        step, state, (w_src, w_dst, w_neg, w_t, w_eidx, w_valid)
+    )
+
+    flat_rows = rows.reshape(total, rows.shape[2], rows.shape[3])
+    flat_rows = jnp.concatenate(
+        [flat_rows, jnp.zeros((1,) + flat_rows.shape[1:], flat_rows.dtype)]
+    )
+    take = jnp.where(valid, jnp.minimum(flat, total), total)
+    return state, flat_rows[take]

@@ -33,6 +33,7 @@ parallel index scan."""
 
 from __future__ import annotations
 
+import functools
 import logging
 import os
 import time
@@ -53,7 +54,7 @@ from zebra_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from zebra_tpu.train.early_stopping import EarlyStopMonitor
 from zebra_tpu.data.sampler import RandEdgeSampler
 from zebra_tpu.index.streaming import TpprParams
-from zebra_tpu.index.waves import build_wave_plan, wave_scan
+from zebra_tpu.index.waves import wave_flat_index, wave_scan_chunk
 from zebra_tpu.train.phase import Stream, run_phase
 from zebra_tpu.train.step import flush_pending_messages, make_optimizer
 
@@ -170,12 +171,20 @@ class Trainer:
             return ()
         return init_tppr_state(cfg.n_tppr, cfg.n_nodes, cfg.topk)
 
-    def _upload_stream(self, data: Data, sampler) -> Tuple[Stream, int]:
-        """Pad a chronological stream to whole batches and upload; draw the
-        phase's negatives when a seeded sampler is given."""
+    def _upload_stream(self, data: Data, sampler):
+        """Pad a chronological stream to whole batches — and to equal-size
+        wave-pipeline superchunks, so each stream compiles exactly one
+        (wave_scan_chunk, run_phase) shape pair — and upload; draw the
+        phase's negatives when a seeded sampler is given.
+
+        Returns (stream, n_batches, real_batches): padding may append fully
+        invalid batches, which metric aggregation must skip."""
         bs = self.cfg.bs
         n = data.n_interactions
-        n_batches = max(1, -(-n // bs))
+        real_batches = max(1, -(-n // bs))
+        n_chunks = max(1, -(-(real_batches * bs) // self.cfg.index_chunk))
+        per_chunk = -(-real_batches // n_chunks)
+        n_batches = per_chunk * n_chunks
         pad = n_batches * bs - n
 
         def p(a, dtype):
@@ -198,7 +207,7 @@ class Trainer:
                 np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
             ),
         )
-        return stream, n_batches
+        return stream, n_batches, real_batches
 
     def _phase(
         self,
@@ -210,7 +219,7 @@ class Trainer:
     ) -> Tuple[TpprState, PhaseResult]:
         t0 = time.time()
         cfg = self.cfg
-        stream, n_batches = self._streams[stream_name]
+        stream, n_batches, real_batches = self._streams[stream_name]
         host = self._host_streams[stream_name]
         if train:
             # fresh negatives each training epoch (reference train.py:203)
@@ -233,45 +242,49 @@ class Trainer:
             )
             ms = jax.tree.map(np.asarray, metrics)  # syncs the phase
         else:
-            # wave-parallel pipeline: per superchunk, schedule on host, run
-            # the batched index scan, then the fused train/eval scan over
-            # that chunk's batches with precomputed queries.
+            # wave-parallel pipeline: per superchunk, schedule on host
+            # (C++, tens of ms), ship ONE int32 slot index per edge, and run
+            # wave-layout scatter + index scan + stream-order query gather as
+            # one program, then the fused train/eval scan over the chunk's
+            # batches with the precomputed queries. Host↔device round trips
+            # per chunk: one upload + two dispatches.
             total = stream.src.shape[0]
-            chunk = max(cfg.bs, (cfg.index_chunk // cfg.bs) * cfg.bs)
+            n_chunks = max(1, -(-total // cfg.index_chunk))
+            chunk = total // n_chunks  # exact: upload pads to equal chunks
             all_metrics = []
             for ci, lo in enumerate(range(0, total, chunk)):
                 hi = min(lo + chunk, total)
                 v = host["valid"][lo:hi]
-                plan = build_wave_plan(
+                flat_valid, n_waves = wave_flat_index(
                     host["src"][lo:hi][v], host["dst"][lo:hi][v],
-                    host["neg"][lo:hi][v], host["t"][lo:hi][v],
-                    host["eidx"][lo:hi][v], cfg.n_nodes, cap=cfg.wave_cap,
+                    host["neg"][lo:hi][v], cfg.n_nodes, cap=cfg.wave_cap,
                 )
-                index_state, rows = wave_scan(
-                    index_state, self._tppr_params, plan.src, plan.dst,
-                    plan.neg, plan.t, plan.eidx, plan.valid,
-                )
-                # stream-order packed queries; invalid positions point at an
-                # appended zero row (their consumers are masked anyway)
-                flat = rows.reshape(-1, 3, rows.shape[-1])
-                flat = jnp.concatenate(
-                    [flat, jnp.zeros((1,) + flat.shape[1:], flat.dtype)]
-                )
-                perm = np.full(hi - lo, flat.shape[0] - 1, np.int32)
-                perm[v] = np.asarray(plan.perm)
-                queries = flat[jnp.asarray(perm)]
+                flat = np.full(hi - lo, n_waves * cfg.wave_cap, np.int32)
+                flat[v] = flat_valid
 
                 chunk_stream = jax.tree.map(lambda x: x[lo:hi], stream)
+                index_state, queries = wave_scan_chunk(
+                    index_state, self._tppr_params,
+                    chunk_stream.src, chunk_stream.dst, chunk_stream.neg,
+                    chunk_stream.t, chunk_stream.eidx, chunk_stream.valid,
+                    jnp.asarray(flat), n_waves, cfg.wave_cap,
+                )
                 self.params, self.opt_state, self.mem, _, metrics = run_phase(
                     cfg, train, (hi - lo) // cfg.bs,
                     self.params, self.opt_state, self.mem, (),
                     jax.random.fold_in(rng, ci), self.edge_feats, nbr_index,
                     chunk_stream, queries,
                 )
-                all_metrics.append(jax.tree.map(np.asarray, metrics))
-            ms = jax.tree.map(lambda *xs: np.concatenate(xs), *all_metrics)
+                all_metrics.append(metrics)
+            ms = jax.tree.map(
+                lambda *xs: np.concatenate([np.asarray(x) for x in xs]),
+                *all_metrics,
+            )
 
-        mean = [float(x.mean()) for x in (ms.loss, ms.ap, ms.auc, ms.acc)]
+        mean = [
+            float(x[:real_batches].mean())
+            for x in (ms.loss, ms.ap, ms.auc, ms.acc)
+        ]
         return index_state, PhaseResult(
             loss=mean[0], ap=mean[1], auc=mean[2], acc=mean[3],
             seconds=time.time() - t0,
@@ -286,10 +299,10 @@ class Trainer:
 
     def train_epoch(self) -> PhaseResult:
         """One training epoch from zeroed memory and empty index (reference
-        train.py:188-227)."""
+        train.py:188-227). The state reset is one fused device call — on
+        tunneled deployments every dispatch costs tens of ms."""
         cfg = self.cfg
-        self.mem = init_memory(cfg.n_nodes, cfg.memory_dim, cfg.message_dim)
-        self.index_state = self._fresh_index()
+        self.mem, self.index_state = _fresh_epoch_state(cfg)
         self.rng, rng = jax.random.split(self.rng)
         self.index_state, result = self._phase(
             "train", True, self.index_state, self.train_nbr_index, rng
@@ -341,6 +354,37 @@ class Trainer:
             self._eval_rng(SEED_NN_TEST),
         )
         return trans, induct
+
+    # ---------------------------------------------------------------- checkpoint
+
+    def save_state(self, path: str, epoch: int = 0) -> None:
+        """Full-state checkpoint: params, optimizer, node memory, T-PPR index,
+        PRNG keys, and the host RNG driving train negatives — enough for an
+        exact restart (the reference checkpoints only (state_dict, memory),
+        train.py:291, and reconstructs the index by replay)."""
+        save_checkpoint(path, {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "mem": self.mem,
+            "index_state": self.index_state,
+            "rng": self.rng,
+            "np_random": np.random.get_state(),
+            "epoch": epoch,
+        })
+
+    def restore_state(self, path: str) -> int:
+        """Restore a ``save_state`` checkpoint; returns the stored epoch."""
+        ckpt = load_checkpoint(path)
+        as_dev = lambda t: jax.tree.map(jnp.asarray, t)
+        self.params = as_dev(ckpt["params"])
+        self.opt_state = as_dev(ckpt["opt_state"])
+        self.mem = as_dev(ckpt["mem"])
+        self.index_state = (
+            as_dev(ckpt["index_state"]) if ckpt["index_state"] != () else ()
+        )
+        self.rng = jnp.asarray(ckpt["rng"])
+        np.random.set_state(ckpt["np_random"])
+        return int(ckpt["epoch"])
 
     # ---------------------------------------------------------------- run
 
@@ -396,6 +440,16 @@ class Trainer:
             "nn_test_acc": t_induct.acc,
             "stop_epoch": float(stop_epoch),
         }
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _fresh_epoch_state(cfg: Config):
+    mem = init_memory(cfg.n_nodes, cfg.memory_dim, cfg.message_dim)
+    if cfg.embedding_module == "diffusion" and cfg.tppr_strategy == "streaming":
+        index = init_tppr_state(cfg.n_tppr, cfg.n_nodes, cfg.topk)
+    else:
+        index = ()
+    return mem, index
 
 
 def _copy(tree):
