@@ -45,7 +45,6 @@ def main():
     cfg = Config(
         data="bench",
         bs=200,
-        index_chunk=6400,
         node_dim=100,
         time_dim=100,
         memory_dim=100,
