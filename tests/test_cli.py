@@ -1,0 +1,39 @@
+"""End-to-end CLI: preprocess a tiny JODIE csv, then run train.py's main on
+it for two epochs."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def test_cli_end_to_end(tmp_path, monkeypatch):
+    # build a tiny JODIE-format dataset
+    rng = np.random.RandomState(0)
+    n = 600
+    d = tmp_path / "toy"
+    d.mkdir()
+    with open(d / "toy.csv", "w") as f:
+        f.write("u,i,ts,label,f0,f1\n")
+        for i in range(n):
+            u = rng.randint(0, 40)
+            v = rng.randint(0, 40)
+            f.write(f"{u},{v},{float(i)},0,{rng.rand():.4f},{rng.rand():.4f}\n")
+
+    from zebra_tpu.data import preprocess
+
+    preprocess.run("toy", str(tmp_path), bipartite=True, fmt="jodie")
+
+    monkeypatch.chdir(tmp_path)
+    import train as train_cli
+
+    train_cli.main([
+        "-d", "toy", "--data_dir", str(tmp_path),
+        "--n_epoch", "2", "--bs", "32", "--patience", "1",
+        "--node_dim", "16", "--time_dim", "16", "--memory_dim", "16",
+        "--topk", "4", "--alpha_list", "0.1", "--beta_list", "0.9",
+        "--tppr_strategy", "streaming", "--lr", "0.001",
+    ])
+    # log file written with the derived run name
+    logs = list((tmp_path / "log" / "toy").iterdir())
+    assert logs, "no log file produced"

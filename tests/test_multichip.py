@@ -78,3 +78,18 @@ def test_sharded_matches_single_device():
     p8, _, met8, _ = run(shard=True, train=True)
     np.testing.assert_allclose(met1.loss, met8.loss, atol=0.05,
                                err_msg="train losses in different neighborhoods")
+
+
+def test_trainer_multi_device_fit():
+    """Trainer with n_devices=8 trains end to end on the virtual mesh with
+    row-sharded state and reaches the same quality regime."""
+    from tests.test_train_loop import _make_trainer
+
+    trainer = _make_trainer("streaming", n_devices=8)
+    assert trainer._mesh is not None
+    r1 = trainer.train_epoch()
+    trainer.train_epoch()
+    r3 = trainer.train_epoch()
+    assert np.isfinite(r3.loss) and r3.loss < r1.loss
+    trans, induct = trainer.validate()
+    assert np.isfinite(trans.ap) and np.isfinite(induct.ap)

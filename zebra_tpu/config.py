@@ -67,7 +67,7 @@ class Config:
     log_dir: str = "log"
 
     # ---- parallelism (new; no reference analogue, SURVEY.md §2 row 26) ----
-    n_devices: int = 0               # 0 = use all visible devices (data axis)
+    n_devices: int = 1               # 1 = single device; 0 = all visible; N = mesh of N
     index_chunk: int = 65536         # events per wave-pipeline superchunk
     wave_cap: int = 64               # max edges per wave (static lane count)
 
@@ -148,7 +148,7 @@ class Config:
         p.add_argument("--node_dim", type=int, default=100)
         p.add_argument("--time_dim", type=int, default=100)
         p.add_argument("--memory_dim", type=int, default=100)
-        p.add_argument("--n_devices", type=int, default=0)
+        p.add_argument("--n_devices", type=int, default=1)
         p.add_argument("--index_chunk", type=int, default=65536)
         p.add_argument("--wave_cap", type=int, default=64)
         return p

@@ -152,11 +152,21 @@ class Trainer:
         if not cfg.enable_random:
             np.random.seed(cfg.seed)
 
+        # multi-device: replicate params/optimizer, row-shard the per-node
+        # tables; XLA inserts the collectives inside the fused phases
+        # (SURVEY.md §7 — all-new design, the reference is single-GPU).
+        self._mesh = None
+        if cfg.n_devices > 1 or (cfg.n_devices == 0 and len(jax.devices()) > 1):
+            from zebra_tpu.parallel import make_mesh
+
+            self._mesh = make_mesh(cfg.n_devices)
+
         self.rng, init_rng = jax.random.split(self.rng)
         self.params = init_tgn_params(init_rng, cfg)
         self.opt_state = make_optimizer(cfg).init(self.params)
         self.mem = init_memory(cfg.n_nodes, cfg.memory_dim, cfg.message_dim)
         self.index_state = self._fresh_index()
+        self._apply_shardings()
 
         os.makedirs(cfg.checkpoint_dir, exist_ok=True)
         self.checkpoint_path = os.path.join(
@@ -164,6 +174,20 @@ class Trainer:
         )
 
     # ---------------------------------------------------------------- helpers
+
+    def _apply_shardings(self):
+        if self._mesh is None:
+            return
+        from zebra_tpu.parallel import (
+            shard_index_state,
+            shard_memory,
+            shard_params,
+        )
+
+        self.params = shard_params(self.params, self._mesh)
+        self.opt_state = shard_params(self.opt_state, self._mesh)
+        self.mem = shard_memory(self.mem, self._mesh)
+        self.index_state = shard_index_state(self.index_state, self._mesh)
 
     def _fresh_index(self):
         cfg = self.cfg
@@ -303,6 +327,11 @@ class Trainer:
         tunneled deployments every dispatch costs tens of ms."""
         cfg = self.cfg
         self.mem, self.index_state = _fresh_epoch_state(cfg)
+        if self._mesh is not None:
+            from zebra_tpu.parallel import shard_index_state, shard_memory
+
+            self.mem = shard_memory(self.mem, self._mesh)
+            self.index_state = shard_index_state(self.index_state, self._mesh)
         self.rng, rng = jax.random.split(self.rng)
         self.index_state, result = self._phase(
             "train", True, self.index_state, self.train_nbr_index, rng
