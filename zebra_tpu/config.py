@@ -61,6 +61,11 @@ class Config:
     ignore_edge_feats: bool = False
     ignore_node_feats: bool = False
 
+    # ---- debugging ----
+    debug_nans: bool = False         # enable jax NaN checks (SURVEY.md §5:
+                                     # the 'race detection' analogue — jit
+                                     # boundary sanitizers)
+
     # ---- checkpointing / logging ----
     save_best: bool = False
     checkpoint_dir: str = "saved_checkpoints"
@@ -151,6 +156,7 @@ class Config:
         p.add_argument("--n_devices", type=int, default=1)
         p.add_argument("--index_chunk", type=int, default=65536)
         p.add_argument("--wave_cap", type=int, default=64)
+        p.add_argument("--debug_nans", action="store_true")
         return p
 
     @classmethod

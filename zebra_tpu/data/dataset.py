@@ -55,6 +55,17 @@ class Data:
             self.labels[lo:hi],
         )
 
+    def sample(self, ratio: float, seed: int = 0) -> "Data":
+        """Random chronologically-ordered subsample (reference Data.sample,
+        data_processing.py:21-31)."""
+        rng = np.random.RandomState(seed)
+        size = int(ratio * self.n_interactions)
+        idx = np.sort(rng.choice(self.n_interactions, size, replace=False))
+        return Data(
+            self.sources[idx], self.destinations[idx], self.timestamps[idx],
+            self.edge_idxs[idx], self.labels[idx],
+        )
+
 
 @dataclass
 class DatasetSplits:
@@ -192,3 +203,24 @@ def load_feat(
     node_feats = np.load(node_path) if os.path.exists(node_path) else None
     edge_feats = np.load(edge_path) if os.path.exists(edge_path) else None
     return node_feats, edge_feats
+
+
+def compute_time_statistics(sources, destinations, timestamps):
+    """Mean/std of inter-event gaps per source and destination (reference
+    data_processing.py:34-61; unused by the reference training path, kept
+    for JODIE-style Δt normalization). Vectorized."""
+    sources = np.asarray(sources)
+    destinations = np.asarray(destinations)
+    timestamps = np.asarray(timestamps, np.float64)
+
+    def diffs(nodes):
+        last = {}
+        out = np.empty(len(nodes))
+        for i, (v, t) in enumerate(zip(nodes.tolist(), timestamps.tolist())):
+            out[i] = t - last.get(v, 0.0)
+            last[v] = t
+        return out
+
+    ds = diffs(sources)
+    dd = diffs(destinations)
+    return float(ds.mean()), float(ds.std()), float(dd.mean()), float(dd.std())

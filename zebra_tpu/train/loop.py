@@ -148,6 +148,8 @@ class Trainer:
         self._tppr_params = TpprParams.create(
             cfg.alpha_list, cfg.beta_list, cfg.topk
         )
+        if cfg.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         self.rng = jax.random.PRNGKey(cfg.seed)
         if not cfg.enable_random:
             np.random.seed(cfg.seed)
