@@ -1,0 +1,138 @@
+"""Online serving: score candidate links against live framework state.
+
+Production-facing wrapper over the eval-mode forward: load (or take) a
+trained state — parameters, node memory, T-PPR index — and score arbitrary
+(src, dst, t) candidates, optionally ingesting observed interactions to keep
+memory and index current. The reference has no serving story (train.py only);
+this is the framework's deployment surface.
+
+Example::
+
+    predictor = LinkPredictor.from_trainer(trainer)
+    probs = predictor.score(src, dst, t)        # link probabilities [B]
+    predictor.observe(src, dst, t, eidx)        # stream new interactions
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zebra_tpu.config import Config
+from zebra_tpu.index.streaming import (
+    TpprParams,
+    TpprQueries,
+    streaming_scan,
+    unpack_queries,
+)
+from zebra_tpu.models.memory import MemoryState
+from zebra_tpu.train.step import (
+    _commit_pending,
+    _forward,
+    _scores,
+    _store_messages,
+)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _score_candidates(cfg: Config, params, mem, edge_feats, nodes2, times2,
+                      q: Optional[TpprQueries], nbr_index):
+    """Eval-mode embeddings for src‖dst plus a repeated-dst negative slot —
+    reuses the training forward; returns P(link) [B]."""
+    b = nodes2.shape[0] // 2
+    nodes3 = jnp.concatenate([nodes2, nodes2[b:]])
+    times3 = jnp.concatenate([times2, times2[b:]])
+    emb = _forward(cfg, params, mem, edge_feats, nodes3, times3, q, nbr_index,
+                   None, train=False)
+    pos_logit, _ = _scores(cfg, params, emb, b)
+    return jax.nn.sigmoid(pos_logit)
+
+
+class LinkPredictor:
+    """Stateful scorer over a (params, memory, index) snapshot."""
+
+    def __init__(self, cfg: Config, params, mem: MemoryState, index_state,
+                 edge_feats, nbr_index=()):
+        self.cfg = cfg
+        self.params = params
+        self.mem = mem
+        self.index_state = index_state
+        self.edge_feats = edge_feats
+        self.nbr_index = nbr_index
+        self._tppr = TpprParams.create(cfg.alpha_list, cfg.beta_list, cfg.topk)
+
+    @classmethod
+    def from_trainer(cls, trainer) -> "LinkPredictor":
+        copy = lambda t: jax.tree.map(jnp.copy, t) if t != () else ()
+        return cls(
+            trainer.cfg, copy(trainer.params), copy(trainer.mem),
+            copy(trainer.index_state), trainer.edge_feats,
+            trainer.full_nbr_index,
+        )
+
+    def _queries(self, src, dst, t):
+        """Read-only T-PPR top-k for src‖dst‖dst at the query times (the
+        extraction of a scan over zero-validity edges leaves state intact)."""
+        if self.cfg.embedding_module != "diffusion":
+            return None
+        b = len(src)
+        # extraction without mutation: run the scan with valid=False — it
+        # still emits the pre-edge rows for (src, dst, neg=dst)
+        state, q = streaming_scan(
+            jax.tree.map(jnp.copy, self.index_state), self._tppr,
+            np.asarray(src, np.int32), np.asarray(dst, np.int32),
+            np.asarray(dst, np.int32), np.asarray(t, np.float32),
+            np.zeros(b, np.int32), np.zeros(b, bool),
+        )
+        return TpprQueries(
+            *(
+                x.transpose(1, 2, 0, 3).reshape(x.shape[1], 3 * b, x.shape[3])
+                for x in q
+            )
+        )
+
+    def score(self, src, dst, t) -> np.ndarray:
+        """P(interaction) for each (src, dst) candidate at its timestamp."""
+        q = self._queries(src, dst, t)
+        nodes2 = jnp.asarray(
+            np.concatenate([np.asarray(src), np.asarray(dst)]), jnp.int32
+        )
+        times2 = jnp.asarray(
+            np.concatenate([np.asarray(t), np.asarray(t)]), jnp.float32
+        )
+        return np.asarray(
+            _score_candidates(self.cfg, self.params, self.mem,
+                              self.edge_feats, nodes2, times2, q,
+                              self.nbr_index)
+        )
+
+    def observe(self, src, dst, t, eidx) -> None:
+        """Ingest observed interactions: stream them through the index and
+        apply the eval-mode memory protocol (store then commit)."""
+        src = np.asarray(src, np.int32)
+        dst = np.asarray(dst, np.int32)
+        t = np.asarray(t, np.float32)
+        eidx = np.asarray(eidx, np.int32)
+        valid = np.ones(len(src), bool)
+        if self.index_state != ():
+            self.index_state, _ = streaming_scan(
+                self.index_state, self._tppr, src, dst, dst, t, eidx, valid
+            )
+        self.mem = _observe_mem(
+            self.cfg, self.params, self.mem, self.edge_feats,
+            jnp.asarray(src), jnp.asarray(dst), jnp.asarray(t),
+            jnp.asarray(eidx),
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("mem",))
+def _observe_mem(cfg, params, mem, edge_feats, src, dst, t, eidx):
+    valid = jnp.ones(src.shape[0], bool)
+    mem = _store_messages(cfg, params, mem, edge_feats, src, dst, t, eidx, valid)
+    positives = jnp.concatenate([src, dst])
+    valid2 = jnp.concatenate([valid, valid])
+    return _commit_pending(cfg, params, mem, positives, valid2)
