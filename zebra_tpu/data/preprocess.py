@@ -21,7 +21,6 @@ CLI:
 from __future__ import annotations
 
 import argparse
-import os
 from pathlib import Path
 
 import numpy as np

@@ -20,9 +20,6 @@ sort-based dedup at this size on the VPU)."""
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

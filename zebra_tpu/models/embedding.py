@@ -30,8 +30,6 @@ embedding, which per-position lazy evaluation reproduces)."""
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -15,7 +15,7 @@ biases, U(-1/√H) cell params."""
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -10,8 +10,6 @@ testing."""
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
-
 import jax
 import numpy as np
 from jax.sharding import Mesh

@@ -27,7 +27,6 @@ from zebra_tpu.index.streaming import (
     TpprParams,
     TpprQueries,
     streaming_scan,
-    unpack_queries,
 )
 from zebra_tpu.models.memory import MemoryState
 from zebra_tpu.train.step import (

@@ -17,11 +17,8 @@ provides the working equivalent:
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from zebra_tpu.config import Config
@@ -145,8 +142,6 @@ def train_node_classifier(
 def eval_node_classification(decoder_params, embs, labels) -> float:
     """ROC-AUC of decoder probabilities against event labels (reference
     evaluation.py:78 intent)."""
-    from zebra_tpu.ops.metrics import masked_auc
-
     logits = decoder_apply(decoder_params, embs, train=False)
     probs = jax.nn.sigmoid(logits)
     # pairwise AUC between positive- and negative-labeled events

@@ -34,7 +34,7 @@ MXU-friendly batched cell application over [M·3b·k] rows.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -51,7 +51,6 @@ from zebra_tpu.models.tgn import (
     message_input,
 )
 from zebra_tpu.models.time_encoding import time_basis, time_encode
-from zebra_tpu.ops.metrics import masked_ap, masked_auc, masked_rank_acc
 
 
 class Batch(NamedTuple):
