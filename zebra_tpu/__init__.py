@@ -20,3 +20,21 @@ LuckyLYM/Zebra (PVLDB'23), see SURVEY.md. The compute path is pure functional JA
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level conveniences: ``zebra_tpu.Trainer``, ``Config``,
+    ``LinkPredictor`` without importing jax at package import time."""
+    if name == "Config":
+        from zebra_tpu.config import Config
+
+        return Config
+    if name == "Trainer":
+        from zebra_tpu.train.loop import Trainer
+
+        return Trainer
+    if name == "LinkPredictor":
+        from zebra_tpu.serve import LinkPredictor
+
+        return LinkPredictor
+    raise AttributeError(name)
