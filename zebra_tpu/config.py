@@ -75,6 +75,9 @@ class Config:
     n_devices: int = 1               # 1 = single device; 0 = all visible; N = mesh of N
     index_chunk: int = 65536         # events per wave-pipeline superchunk
     wave_cap: int = 64               # max edges per wave (static lane count)
+    pallas_merge: bool = True        # fused Pallas kernel for the SANTA merge
+                                     # (used when running on TPU; ~3x the
+                                     # XLA merge)
 
     # ---- filled from data at runtime ----
     n_nodes: int = 0                 # max node id + 1 (ids are 1-based; 0 = padding)
@@ -157,6 +160,8 @@ class Config:
         p.add_argument("--index_chunk", type=int, default=65536)
         p.add_argument("--wave_cap", type=int, default=64)
         p.add_argument("--debug_nans", action="store_true")
+        p.add_argument("--no_pallas_merge", dest="pallas_merge",
+                       action="store_false")
         return p
 
     @classmethod

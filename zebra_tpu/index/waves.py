@@ -54,9 +54,13 @@ def wave_flat_index(
 
 
 def _wave_step(state: TpprState, src, dst, neg, t, eidx, valid,
-               params: TpprParams) -> Tuple[TpprState, jnp.ndarray]:
+               params: TpprParams,
+               use_pallas: bool = False) -> Tuple[TpprState, jnp.ndarray]:
     """One wave: batched extraction + SANTA update for up to W disjoint
-    edges. Returns raw packed rows [W, 3, F] (pre-update, = extraction)."""
+    edges. Returns raw packed rows [W, 3, F] (pre-update, = extraction).
+
+    ``use_pallas`` swaps the merge math for the fused Pallas kernel
+    (zebra_tpu.index.pallas_merge); results agree to float rounding."""
     m, k = len(params.alpha), params.k
     w = src.shape[0]
     n = state.data.shape[0]
@@ -65,12 +69,20 @@ def _wave_step(state: TpprState, src, dst, neg, t, eidx, valid,
     rows = state.data[sdn]                              # [W, 3, F]
     fields3, norm3 = _split_rows(rows, m, k)            # [W,3,M,4,k], [W,3,M]
 
-    merge = jax.vmap(
-        lambda f3, nsd, s, d, e, tt: _merge_both(f3, nsd, s, d, e, tt, params)
-    )
-    new_fields, new_norm = merge(
-        fields3, norm3[:, :2], src, dst, eidx, t
-    )                                                   # [W,2,M,4,k], [W,2,M]
+    if use_pallas:
+        from zebra_tpu.index.pallas_merge import merge_both_pallas
+
+        interp = jax.default_backend() != "tpu"
+        new_fields, new_norm = merge_both_pallas(
+            fields3, norm3[:, :2], src, dst, eidx, t, params, interp
+        )
+    else:
+        merge = jax.vmap(
+            lambda f3, nsd, s, d, e, tt: _merge_both(f3, nsd, s, d, e, tt, params)
+        )
+        new_fields, new_norm = merge(
+            fields3, norm3[:, :2], src, dst, eidx, t
+        )                                               # [W,2,M,4,k], [W,2,M]
     new_rows = jnp.concatenate(
         [new_fields.reshape(w, 2, 4 * m * k), new_norm], axis=2
     )                                                   # [W, 2, F]
@@ -87,7 +99,7 @@ def _wave_step(state: TpprState, src, dst, neg, t, eidx, valid,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("params", "n_waves", "cap"),
+    static_argnames=("params", "n_waves", "cap", "use_pallas"),
     donate_argnames=("state",),
 )
 def wave_scan_chunk(
@@ -103,6 +115,7 @@ def wave_scan_chunk(
                          #          for edges excluded from scheduling)
     n_waves: int,
     cap: int,
+    use_pallas: bool = False,
 ) -> Tuple[TpprState, jnp.ndarray]:
     """Scatter the chunk into wave layout, scan the waves, and gather the
     emitted extraction rows back to stream order. One XLA program.
@@ -133,7 +146,7 @@ def wave_scan_chunk(
 
     def step(carry, wv):
         s, d, n, tt, e, v = wv
-        return _wave_step(carry, s, d, n, tt, e, v, params)
+        return _wave_step(carry, s, d, n, tt, e, v, params, use_pallas)
 
     state, rows = jax.lax.scan(
         step, state, (w_src, w_dst, w_neg, w_t, w_eidx, w_valid)

@@ -148,6 +148,11 @@ class Trainer:
         self._tppr_params = TpprParams.create(
             cfg.alpha_list, cfg.beta_list, cfg.topk
         )
+        # the fused Pallas merge runs compiled only on TPU backends
+        # (elsewhere it would fall to the slow interpreter)
+        self._use_pallas = bool(
+            cfg.pallas_merge and jax.default_backend() == "tpu"
+        )
         if cfg.debug_nans:
             jax.config.update("jax_debug_nans", True)
         self.rng = jax.random.PRNGKey(cfg.seed)
@@ -294,6 +299,7 @@ class Trainer:
                     chunk_stream.src, chunk_stream.dst, chunk_stream.neg,
                     chunk_stream.t, chunk_stream.eidx, chunk_stream.valid,
                     jnp.asarray(flat), n_waves, cfg.wave_cap,
+                    self._use_pallas,
                 )
                 self.params, self.opt_state, self.mem, _, metrics = run_phase(
                     cfg, train, (hi - lo) // cfg.bs,
