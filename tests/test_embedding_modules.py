@@ -20,6 +20,7 @@ def test_module_trains(module):
         node_dim=16, time_dim=16, memory_dim=16,
     )
     r1 = trainer.train_epoch()
+    trainer.train_epoch()
     r2 = trainer.train_epoch()
     assert np.isfinite(r1.loss) and np.isfinite(r2.loss)
     if module in ("graph_attention", "graph_sum"):

@@ -78,6 +78,9 @@ class Config:
     pallas_merge: bool = True        # fused Pallas kernel for the SANTA merge
                                      # (used when running on TPU; ~3x the
                                      # XLA merge)
+    prng_impl: str = "rbg"           # jax PRNG implementation; rbg is much
+                                     # cheaper than threefry for per-batch
+                                     # dropout masks on TPU
 
     # ---- filled from data at runtime ----
     n_nodes: int = 0                 # max node id + 1 (ids are 1-based; 0 = padding)
@@ -162,6 +165,8 @@ class Config:
         p.add_argument("--debug_nans", action="store_true")
         p.add_argument("--no_pallas_merge", dest="pallas_merge",
                        action="store_false")
+        p.add_argument("--prng_impl", type=str, default="rbg",
+                       choices=["rbg", "threefry2x32"])
         return p
 
     @classmethod

@@ -155,6 +155,7 @@ class Trainer:
         )
         if cfg.debug_nans:
             jax.config.update("jax_debug_nans", True)
+        jax.config.update("jax_default_prng_impl", cfg.prng_impl)
         self.rng = jax.random.PRNGKey(cfg.seed)
         if not cfg.enable_random:
             np.random.seed(cfg.seed)
