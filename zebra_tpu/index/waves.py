@@ -149,7 +149,7 @@ def wave_scan_chunk(
         return _wave_step(carry, s, d, n, tt, e, v, params, use_pallas)
 
     state, rows = jax.lax.scan(
-        step, state, (w_src, w_dst, w_neg, w_t, w_eidx, w_valid)
+        step, state, (w_src, w_dst, w_neg, w_t, w_eidx, w_valid), unroll=2
     )
 
     flat_rows = rows.reshape(total, rows.shape[2], rows.shape[3])

@@ -201,7 +201,9 @@ def run_phase(
         )
         return (params, opt_state, mem, index_state, rng), metrics
 
+    # unroll=2: halves the scan's per-iteration fixed cost (+6% measured);
+    # deeper unrolling regresses (code size)
     (params, opt_state, mem, index_state, _), metrics = jax.lax.scan(
-        batch_body, (params, opt_state, mem, index_state, rng), xs
+        batch_body, (params, opt_state, mem, index_state, rng), xs, unroll=2
     )
     return params, opt_state, mem, index_state, metrics
