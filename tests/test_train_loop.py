@@ -99,3 +99,38 @@ def test_no_edge_features_path():
     assert trainer.cfg.edge_dim == 1  # zero placeholder column
     r = trainer.train_epoch()
     assert np.isfinite(r.loss)
+
+
+def test_tiny_dataset_with_empty_splits():
+    """Degenerate streams (empty inductive splits) must not crash or NaN."""
+    import jax.numpy as jnp
+    from zebra_tpu.config import Config
+    from zebra_tpu.data.dataset import Data, DatasetSplits
+
+    # 30 events, every node seen in training → new-node splits are empty
+    n = 30
+    src = np.arange(1, n + 1, dtype=np.int32) % 5 + 1
+    dst = np.arange(1, n + 1, dtype=np.int32) % 7 + 6
+    ts = np.arange(n, dtype=np.float64)
+    eidx = np.arange(1, n + 1, dtype=np.int32)
+    lab = np.zeros(n)
+    full = Data(src, dst, ts, eidx, lab)
+    empty = Data(src[:0], dst[:0], ts[:0], eidx[:0], lab[:0])
+    splits = DatasetSplits(
+        full=full, train=full.slice(0, 20), val=full.slice(20, 25),
+        test=full.slice(25, 30), new_node_val=empty, new_node_test=empty,
+        n_nodes=13, n_edges=n,
+    )
+    cfg = Config(
+        data="tiny", bs=8, node_dim=8, time_dim=8, memory_dim=8, topk=3,
+        alpha_list=(0.1,), beta_list=(0.9,), tppr_strategy="streaming",
+        checkpoint_dir="/tmp/zebra_tiny_ckpt", lr=1e-3,
+    )
+    trainer = Trainer(cfg, splits, None)
+    r = trainer.train_epoch()
+    assert np.isfinite(r.loss)
+    trans, induct = trainer.validate()
+    assert np.isfinite(trans.ap)
+    assert induct.ap == 0.0  # empty split scores nothing, no NaN
+    t_trans, t_induct = trainer.test()
+    assert np.isfinite(t_trans.ap) and t_induct.ap == 0.0

@@ -167,6 +167,9 @@ class Config:
                        action="store_false")
         p.add_argument("--prng_impl", type=str, default="rbg",
                        choices=["rbg", "threefry2x32"])
+        p.add_argument("--checkpoint_dir", type=str, default="saved_checkpoints")
+        p.add_argument("--log_dir", type=str, default="log")
+        p.add_argument("--seed", type=int, default=0)
         return p
 
     @classmethod
