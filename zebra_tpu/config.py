@@ -81,6 +81,10 @@ class Config:
     prng_impl: str = "rbg"           # jax PRNG implementation; rbg is much
                                      # cheaper than threefry for per-batch
                                      # dropout masks on TPU
+    message_dtype: str = "bfloat16"  # pending-message storage dtype; the
+                                     # [N, msg_dim] table dominates HBM and
+                                     # the lazy-update gather bandwidth
+                                     # (2.15GB f32 at Wiki-Talk scale)
 
     # ---- filled from data at runtime ----
     n_nodes: int = 0                 # max node id + 1 (ids are 1-based; 0 = padding)
@@ -167,6 +171,8 @@ class Config:
                        action="store_false")
         p.add_argument("--prng_impl", type=str, default="rbg",
                        choices=["rbg", "threefry2x32"])
+        p.add_argument("--message_dtype", type=str, default="bfloat16",
+                       choices=["bfloat16", "float32"])
         p.add_argument("--checkpoint_dir", type=str, default="saved_checkpoints")
         p.add_argument("--log_dir", type=str, default="log")
         p.add_argument("--seed", type=int, default=0)

@@ -31,13 +31,16 @@ class MemoryState(NamedTuple):
     msg_count: jnp.ndarray    # f32 [N] pending count (mean aggregator)
 
 
-def init_memory(n_nodes: int, mem_dim: int, msg_dim: int) -> MemoryState:
+def init_memory(n_nodes: int, mem_dim: int, msg_dim: int,
+                msg_dtype=jnp.bfloat16) -> MemoryState:
     """Zero state (reference __init_memory__, memory.py:19-25); re-created at
-    every epoch start (reference train.py:188)."""
+    every epoch start (reference train.py:188). Messages default to bf16
+    storage: the [N, msg_dim] table dominates HBM capacity and the lazy-GRU
+    gather bandwidth; the updater upcasts to f32 at consumption."""
     return MemoryState(
         memory=jnp.zeros((n_nodes, mem_dim), jnp.float32),
         last_update=jnp.zeros((n_nodes,), jnp.float32),
-        messages=jnp.zeros((n_nodes, msg_dim), jnp.float32),
+        messages=jnp.zeros((n_nodes, msg_dim), msg_dtype),
         msg_ts=jnp.zeros((n_nodes,), jnp.float32),
         msg_flag=jnp.zeros((n_nodes,), bool),
         msg_count=jnp.zeros((n_nodes,), jnp.float32),

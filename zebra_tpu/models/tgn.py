@@ -128,7 +128,7 @@ def message_input(cfg: Config, params: TgnParams, mem_state, ids):
     passed through the MLP message function when configured (reference
     modules/message_function.py, message_aggregator.py — both are declared
     in the reference but have no runnable call sites)."""
-    raw = mem_state.messages[ids]
+    raw = mem_state.messages[ids].astype(jnp.float32)
     if cfg.aggregator == "mean":
         cnt = jnp.maximum(mem_state.msg_count[ids], 1.0)
         raw = raw / cnt[..., None]

@@ -172,7 +172,8 @@ class Trainer:
         self.rng, init_rng = jax.random.split(self.rng)
         self.params = init_tgn_params(init_rng, cfg)
         self.opt_state = make_optimizer(cfg).init(self.params)
-        self.mem = init_memory(cfg.n_nodes, cfg.memory_dim, cfg.message_dim)
+        self.mem = init_memory(cfg.n_nodes, cfg.memory_dim, cfg.message_dim,
+                               jnp.dtype(cfg.message_dtype))
         self.index_state = self._fresh_index()
         self._apply_shardings()
 
@@ -482,7 +483,8 @@ class Trainer:
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _fresh_epoch_state(cfg: Config):
-    mem = init_memory(cfg.n_nodes, cfg.memory_dim, cfg.message_dim)
+    mem = init_memory(cfg.n_nodes, cfg.memory_dim, cfg.message_dim,
+                      jnp.dtype(cfg.message_dtype))
     if cfg.embedding_module == "diffusion" and cfg.tppr_strategy == "streaming":
         index = init_tppr_state(cfg.n_tppr, cfg.n_nodes, cfg.topk)
     else:

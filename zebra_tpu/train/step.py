@@ -212,13 +212,15 @@ def _store_messages(cfg, params, mem: MemoryState, edge_feats, src, dst, t, eidx
         ],
         axis=-1,
     )
+    msg = msg.astype(mem.messages.dtype)
     if cfg.aggregator == "mean":
         # accumulate every message (duplicates sum via scatter-add); msg_ts
         # tracks the newest pending timestamp
         idx_all = jnp.where(valid2, snd, n)
         return mem._replace(
             messages=mem.messages.at[idx_all].add(
-                jnp.where(valid2[:, None], msg, 0.0), mode="drop"
+                jnp.where(valid2[:, None], msg, jnp.zeros((), msg.dtype)),
+                mode="drop",
             ),
             msg_count=mem.msg_count.at[idx_all].add(
                 valid2.astype(jnp.float32), mode="drop"
