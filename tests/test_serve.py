@@ -49,3 +49,14 @@ def test_score_read_only():
 
     np.testing.assert_array_equal(np.asarray(predictor.index_state.data), before)
     np.testing.assert_array_equal(np.asarray(predictor.mem.memory), mem_before)
+
+
+def test_score_with_pruning_strategy():
+    trainer = _make_trainer("pruning")
+    trainer.train_epoch()
+    predictor = LinkPredictor.from_trainer(trainer)
+    test = trainer.splits.test
+    probs = predictor.score(test.sources[:16], test.destinations[:16],
+                            test.timestamps[:16])
+    assert probs.shape == (16,)
+    assert np.all(np.isfinite(probs))

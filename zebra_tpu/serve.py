@@ -74,13 +74,26 @@ class LinkPredictor:
         )
 
     def _queries(self, src, dst, t):
-        """Read-only T-PPR top-k for src‖dst‖dst at the query times (the
-        extraction of a scan over zero-validity edges leaves state intact)."""
+        """Read-only T-PPR top-k for src‖dst‖dst at the query times."""
         if self.cfg.embedding_module != "diffusion":
             return None
         b = len(src)
-        # extraction without mutation: run the scan with valid=False — it
-        # still emits the pre-edge rows for (src, dst, neg=dst)
+        if self.cfg.tppr_strategy == "pruning":
+            from zebra_tpu.index.pruning import pruned_topk
+
+            nodes3 = np.concatenate(
+                [np.asarray(src), np.asarray(dst), np.asarray(dst)]
+            ).astype(np.int32)
+            times3 = np.tile(np.asarray(t, np.float32), 3)
+            return pruned_topk(
+                self.nbr_index,
+                jnp.asarray(self.cfg.alpha_list, jnp.float32),
+                jnp.asarray(self.cfg.beta_list, jnp.float32),
+                jnp.asarray(nodes3), jnp.asarray(times3),
+                self.cfg.n_degree, self.cfg.n_layer, self.cfg.topk,
+            )
+        # streaming: extraction without mutation — a scan over zero-validity
+        # edges still emits the pre-edge rows for (src, dst, neg=dst)
         state, q = streaming_scan(
             jax.tree.map(jnp.copy, self.index_state), self._tppr,
             np.asarray(src, np.int32), np.asarray(dst, np.int32),
@@ -111,7 +124,9 @@ class LinkPredictor:
 
     def observe(self, src, dst, t, eidx) -> None:
         """Ingest observed interactions: stream them through the index and
-        apply the eval-mode memory protocol (store then commit)."""
+        apply the eval-mode memory protocol (store then commit). With the
+        pruning strategy the adjacency index is static — rebuild it
+        periodically from the appended stream to fold new events in."""
         src = np.asarray(src, np.int32)
         dst = np.asarray(dst, np.int32)
         t = np.asarray(t, np.float32)
