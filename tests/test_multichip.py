@@ -93,3 +93,15 @@ def test_trainer_multi_device_fit():
     assert np.isfinite(r3.loss) and r3.loss < r1.loss
     trans, induct = trainer.validate()
     assert np.isfinite(trans.ap) and np.isfinite(induct.ap)
+
+
+def test_attention_tower_multi_device():
+    """Recursive towers (adjacency gathers) also run over the mesh."""
+    from tests.test_train_loop import _make_trainer
+
+    trainer = _make_trainer(
+        "streaming", embedding_module="graph_attention", n_events=800,
+        node_dim=16, time_dim=16, memory_dim=16, n_devices=8,
+    )
+    r = trainer.train_epoch()
+    assert np.isfinite(r.loss)
