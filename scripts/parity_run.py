@@ -1,0 +1,200 @@
+"""Cross-implementation accuracy parity: reference (torch+numba-shim, CPU)
+vs zebra_tpu on an identical synthetic dataset and protocol.
+
+The six published datasets are not reachable from this container (zero
+egress; see scripts/download_data.sh for the moment they are), so the A/B
+runs on a synthetic JODIE-format stream with learnable community structure
+(zebra_tpu.data.synthetic). Both implementations see byte-identical
+``ml_{d}.csv``/``ml_{d}.npy`` inputs, the same split protocol (quantile 70/15/15
++ seed-2020 inductive holdout — implemented identically on both sides), the
+same seeded eval negative draws (seeds 0/2/3, reference draw order), and the
+same hyperparameters. Training negatives and parameter init differ by
+framework RNG, so agreement is statistical: val-AP trajectories and test AP
+must agree within a band comparable to the paper's run-to-run variance
+(BASELINE.md: ±0.1-0.3 AP points on real data; wider on small synthetic
+streams).
+
+Usage::
+
+    python scripts/parity_run.py --n_events 30000 --n_epoch 6 \
+        --workdir /tmp/zebra_parity [--ab] [--tol 0.02]
+
+``--ab`` additionally sweeps zebra_tpu's numeric deviations
+(--message_dtype float32|bfloat16, --prng_impl rbg|threefry2x32) to validate
+the bfloat16/rbg defaults. Prints a comparison table and exits nonzero if
+|Δ test AP| exceeds --tol.
+
+Reference entry point: /root/reference/train.py:195-317 (run via PYTHONPATH
+with scripts/_numba_shim so its numba JIT layer degrades to pure Python —
+identical semantics, slower).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = "/root/reference"
+SHIM = os.path.join(REPO, "scripts", "_numba_shim")
+
+VAL_AP_RE = re.compile(r"val ap: ([0-9.eE+-]+), new node val ap: ([0-9.eE+-]+)")
+TEST_RE = re.compile(
+    r"Test statistics: (Old|New) nodes -- auc: ([0-9.eE+-]+), ap: ([0-9.eE+-]+)"
+)
+
+
+def make_dataset(workdir: str, name: str, n_events: int, seed: int,
+                 edge_dim: int = 32) -> str:
+    sys.path.insert(0, REPO)
+    import pandas as pd
+
+    from zebra_tpu.data.synthetic import synthetic_stream
+
+    data, ef = synthetic_stream(
+        n_events=n_events, n_users=max(50, n_events // 40),
+        n_items=max(50, n_events // 40), edge_dim=edge_dim, seed=seed,
+    )
+    ddir = os.path.join(workdir, "data", name)
+    os.makedirs(ddir, exist_ok=True)
+    pd.DataFrame({
+        "u": data.sources, "i": data.destinations, "ts": data.timestamps,
+        "label": data.labels, "idx": data.edge_idxs,
+    }).to_csv(os.path.join(ddir, f"ml_{name}.csv"), index=False)
+    np.save(os.path.join(ddir, f"ml_{name}.npy"), ef)
+    return os.path.join(workdir, "data")
+
+
+def parse_log(log_dir: str):
+    """Parse the newest log file under log_dir for per-epoch val AP and the
+    final transductive/inductive test AP (identical schema on both sides)."""
+    files = sorted(glob.glob(os.path.join(log_dir, "*")), key=os.path.getmtime)
+    if not files:
+        raise FileNotFoundError(f"no log file under {log_dir}")
+    text = open(files[-1]).read()
+    val_ap = [(float(a), float(b)) for a, b in VAL_AP_RE.findall(text)]
+    test = {m[0]: float(m[2]) for m in TEST_RE.findall(text)}
+    return {
+        "val_ap": [v for v, _ in val_ap],
+        "nn_val_ap": [v for _, v in val_ap],
+        "test_ap": test.get("Old"),
+        "nn_test_ap": test.get("New"),
+    }
+
+
+def run_reference(workdir: str, name: str, hp: dict) -> dict:
+    run_dir = os.path.join(workdir, "ref")
+    os.makedirs(run_dir, exist_ok=True)
+    # the reference reads ../data/{name} relative to its cwd
+    data_link = os.path.join(workdir, "ref_parent_data")
+    target = os.path.join(run_dir, "..", "data")
+    if not os.path.exists(os.path.join(workdir, "data")):
+        raise FileNotFoundError("dataset not generated")
+    del data_link, target  # run_dir/.. == workdir, which holds data/
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{SHIM}{os.pathsep}{REFERENCE}"
+    env.pop("JAX_PLATFORMS", None)
+    cmd = [
+        sys.executable, os.path.join(REPO, "scripts", "run_reference.py"),
+        "-d", name, "--bs", str(hp["bs"]), "--n_epoch", str(hp["n_epoch"]),
+        "--lr", str(hp["lr"]), "--patience", str(hp["patience"]),
+        "--tppr_strategy", "streaming", "--topk", str(hp["topk"]),
+        "--alpha_list", *map(str, hp["alpha"]),
+        "--beta_list", *map(str, hp["beta"]),
+        "--node_dim", str(hp["dim"]), "--time_dim", str(hp["dim"]),
+        "--memory_dim", str(hp["dim"]),
+    ]
+    print("[parity] reference:", " ".join(cmd), flush=True)
+    subprocess.run(cmd, cwd=run_dir, env=env, check=True,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.STDOUT)
+    return parse_log(os.path.join(run_dir, "log", name))
+
+
+def run_zebra(workdir: str, name: str, hp: dict, tag: str = "base",
+              extra: tuple = ()) -> dict:
+    run_dir = os.path.join(workdir, f"zt_{tag}")
+    os.makedirs(run_dir, exist_ok=True)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    cmd = [
+        sys.executable, os.path.join(REPO, "train.py"),
+        "-d", name, "--data_dir", os.path.join(workdir, "data"),
+        "--bs", str(hp["bs"]), "--n_epoch", str(hp["n_epoch"]),
+        "--lr", str(hp["lr"]), "--patience", str(hp["patience"]),
+        "--tppr_strategy", "streaming", "--topk", str(hp["topk"]),
+        "--alpha_list", *map(str, hp["alpha"]),
+        "--beta_list", *map(str, hp["beta"]),
+        "--node_dim", str(hp["dim"]), "--time_dim", str(hp["dim"]),
+        "--memory_dim", str(hp["dim"]),
+        "--log_dir", os.path.join(run_dir, "log"),
+        "--checkpoint_dir", os.path.join(run_dir, "ckpt"),
+        *extra,
+    ]
+    print(f"[parity] zebra_tpu[{tag}]:", " ".join(cmd), flush=True)
+    subprocess.run(cmd, cwd=run_dir, env=env, check=True,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.STDOUT)
+    return parse_log(os.path.join(run_dir, "log", name))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/zebra_parity")
+    ap.add_argument("--n_events", type=int, default=30000)
+    ap.add_argument("--n_epoch", type=int, default=6)
+    ap.add_argument("--bs", type=int, default=200)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--topk", type=int, default=10)
+    ap.add_argument("--alpha", type=float, nargs="+", default=[0.1, 0.1])
+    ap.add_argument("--beta", type=float, nargs="+", default=[0.05, 0.95])
+    ap.add_argument("--patience", type=int, default=50)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--tol", type=float, default=0.02,
+                    help="max |Δ test AP| vs reference before exit 1")
+    ap.add_argument("--ab", action="store_true",
+                    help="also sweep message_dtype / prng_impl variants")
+    args = ap.parse_args()
+
+    hp = dict(bs=args.bs, n_epoch=args.n_epoch, lr=args.lr, dim=args.dim,
+              topk=args.topk, alpha=args.alpha, beta=args.beta,
+              patience=args.patience)
+    name = "parity"
+    os.makedirs(args.workdir, exist_ok=True)
+    make_dataset(args.workdir, name, args.n_events, args.seed)
+
+    results = {"reference": run_reference(args.workdir, name, hp)}
+    results["zebra(default bf16/rbg)"] = run_zebra(args.workdir, name, hp)
+    if args.ab:
+        results["zebra(f32 msgs)"] = run_zebra(
+            args.workdir, name, hp, "f32", ("--message_dtype", "float32"))
+        results["zebra(threefry)"] = run_zebra(
+            args.workdir, name, hp, "threefry", ("--prng_impl", "threefry2x32"))
+
+    ref = results["reference"]
+    print(f"\n== parity @ n_events={args.n_events}, n_epoch={args.n_epoch}, "
+          f"dims={args.dim}, M={len(args.alpha)}, k={args.topk} ==")
+    hdr = f"{'impl':26s} {'val AP by epoch':38s} {'test AP':>8s} {'nn test':>8s}"
+    print(hdr)
+    worst = 0.0
+    for label, r in results.items():
+        traj = " ".join(f"{v:.4f}" for v in r["val_ap"])
+        print(f"{label:26s} {traj:38s} {r['test_ap']:8.4f} {r['nn_test_ap']:8.4f}")
+        if label != "reference" and ref["test_ap"] is not None:
+            worst = max(worst, abs(r["test_ap"] - ref["test_ap"]))
+    print(f"\nmax |Δ test AP| vs reference: {worst:.4f} (tol {args.tol})")
+    out = {"results": results, "max_delta_test_ap": worst, "tol": args.tol,
+           "n_events": args.n_events, "n_epoch": args.n_epoch}
+    with open(os.path.join(args.workdir, "parity_results.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    sys.exit(0 if worst <= args.tol else 1)
+
+
+if __name__ == "__main__":
+    main()

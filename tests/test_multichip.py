@@ -36,7 +36,7 @@ def test_sharded_matches_single_device():
 
     trainer = g._toy_setup()
     cfg = trainer.cfg
-    stream, n_batches, _ = trainer._streams["train"]
+    stream, n_batches, _, _ = trainer._streams["train"]
 
     def run(shard: bool, train: bool):
         params = jax.tree.map(jnp.copy, trainer.params)

@@ -21,7 +21,7 @@ def test_collect_and_classify():
     trainer.train_epoch()
     cfg = trainer.cfg
 
-    stream, n_batches, _ = trainer._streams["train"]
+    stream, n_batches, _, _ = trainer._streams["train"]
     mem, idx, embs = collect_source_embeddings(
         cfg, n_batches, trainer.params,
         jax.tree.map(jnp.copy, trainer.mem),

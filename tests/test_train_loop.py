@@ -94,6 +94,53 @@ def test_validation_restore_is_exact():
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.parametrize("index_chunk", [120, 30])
+def test_superchunk_geometry_off_boundary(index_chunk):
+    """Superchunk sizes that don't divide the padded stream evenly (and
+    index_chunk < bs) must still split on whole-batch boundaries; the phase
+    reuses the chunk count the upload padded for instead of re-deriving it
+    (regression: reshape crash when ceil(real_batches/n_chunks)*bs >
+    index_chunk)."""
+    trainer = _make_trainer("streaming", index_chunk=index_chunk)
+    ps = trainer._streams["train"]
+    chunk = ps.stream.src.shape[0] // ps.n_chunks
+    assert chunk % trainer.cfg.bs == 0
+    assert chunk * ps.n_chunks == ps.stream.src.shape[0]
+    r = trainer.train_epoch()
+    assert np.isfinite(r.loss)
+
+
+def test_eval_negatives_match_reference_draw_order():
+    """sample_eval_negatives consumes the seeded RandomState in the
+    reference's per-batch interleaved (src, dst) order (evaluation.py:30-31),
+    so seeded eval negatives are bit-identical to reference runs."""
+    from zebra_tpu.data.sampler import RandEdgeSampler
+
+    src_pop = np.arange(1, 40)
+    dst_pop = np.arange(40, 95)
+    sampler = RandEdgeSampler(src_pop, dst_pop, seed=0)
+    n, bs = 137, 25
+    got = sampler.sample_eval_negatives(n, bs)
+
+    # reference draw loop, verbatim semantics
+    rs = np.random.RandomState(0)
+    src_list, dst_list = np.unique(src_pop), np.unique(dst_pop)
+    want = []
+    for lo in range(0, n, bs):
+        size = min(bs, n - lo)
+        rs.randint(0, len(src_list), size)  # src draw (discarded)
+        want.append(dst_list[rs.randint(0, len(dst_list), size)])
+    np.testing.assert_array_equal(got, np.concatenate(want))
+
+
+def test_synthetic_stream_small_item_population():
+    """Empty hard-coded communities at small n_items fall back to the global
+    item distribution instead of crashing (regression)."""
+    data, _ = synthetic_stream(n_events=64, n_users=8, n_items=16, seed=0)
+    assert data.n_interactions == 64
+    assert data.destinations.min() >= 9  # items offset past users
+
+
 def test_no_edge_features_path():
     trainer = _make_trainer("streaming", edge_dim=0)
     assert trainer.cfg.edge_dim == 1  # zero placeholder column

@@ -14,6 +14,13 @@ import time
 
 import numpy as np
 
+# Honor JAX_PLATFORMS even on deployments whose sitecustomize force-registers
+# an accelerator backend via jax.config (where the env var alone is ignored).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 from zebra_tpu.config import Config
 from zebra_tpu.data.dataset import get_data, load_feat
 from zebra_tpu.train.loop import Trainer

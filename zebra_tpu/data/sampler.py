@@ -33,3 +33,18 @@ class RandEdgeSampler:
     def reset_random_state(self):
         assert self.seed is not None
         self.random_state = np.random.RandomState(self.seed)
+
+    def sample_eval_negatives(self, n: int, bs: int) -> np.ndarray:
+        """Negatives for a whole eval stream in the reference's exact draw
+        order: the seeded RandomState is reset, then consumed batch-by-batch
+        as interleaved (src, dst) draws of min(bs, remaining) — matching the
+        per-batch ``sampler.sample(size)`` calls of reference
+        evaluation.py:10,30-31 bit-for-bit (the dst draws are the negatives
+        actually used)."""
+        self.reset_random_state()
+        negs = np.empty(n, dtype=self.dst_list.dtype)
+        for lo in range(0, n, bs):
+            size = min(bs, n - lo)
+            _, dst = self.sample(size)
+            negs[lo : lo + size] = dst
+        return negs

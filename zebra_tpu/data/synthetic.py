@@ -53,8 +53,13 @@ def synthetic_stream(
     items0[~in_comm] = all_items[~in_comm]
     for c in range(n_comm):
         members = np.where(item_comm == c)[0]
-        pc = item_pop[members] / item_pop[members].sum()
         sel = in_comm & (user_comm[users0] == c)
+        if len(members) == 0:
+            # a community can be empty at small n_items; those events fall
+            # back to the global item distribution (already in items0)
+            items0[sel] = all_items[sel]
+            continue
+        pc = item_pop[members] / item_pop[members].sum()
         items0[sel] = members[rng.choice(len(members), size=int(sel.sum()), p=pc)]
 
     users = 1 + users0

@@ -38,7 +38,7 @@ import logging
 import os
 import time
 from dataclasses import dataclass
-from typing import Dict, Optional, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -72,6 +72,20 @@ class PhaseResult:
     acc: float
     loss: float = 0.0
     seconds: float = 0.0
+    index_seconds: float = 0.0  # host+device time in the T-PPR index scan
+                                # (reference logs 'tppr: {t}', train.py:275)
+
+
+class PhaseStream(NamedTuple):
+    """A phase's uploaded stream plus its padding geometry. ``n_chunks`` is
+    the wave-pipeline superchunk count the padding was computed for — the
+    consumer must reuse it rather than re-deriving it from the padded length
+    (the two can disagree, leaving chunks that are not whole batches)."""
+
+    stream: Stream
+    n_batches: int       # padded batch count (= per_chunk * n_chunks)
+    real_batches: int    # batches containing any real events
+    n_chunks: int
 
 
 class Trainer:
@@ -113,7 +127,7 @@ class Trainer:
         # per phase (seeded sampler, reset before each pass — reference
         # evaluation.py:9-10), so they are drawn once here; the train
         # stream's negatives are redrawn every epoch.
-        self._streams: Dict[str, Tuple[Stream, int]] = {}
+        self._streams: Dict[str, PhaseStream] = {}
         self._host_streams: Dict[str, Dict[str, np.ndarray]] = {}
         for name, data, sampler in (
             ("train", splits.train, None),
@@ -123,7 +137,7 @@ class Trainer:
             ("nn_test", splits.new_node_test, self.nn_test_sampler),
         ):
             self._streams[name] = self._upload_stream(data, sampler)
-            st = self._streams[name][0]
+            st = self._streams[name].stream
             self._host_streams[name] = {
                 f: np.asarray(getattr(st, f))
                 for f in ("src", "dst", "neg", "t", "eidx", "valid")
@@ -210,12 +224,19 @@ class Trainer:
         (wave_scan_chunk, run_phase) shape pair — and upload; draw the
         phase's negatives when a seeded sampler is given.
 
-        Returns (stream, n_batches, real_batches): padding may append fully
-        invalid batches, which metric aggregation must skip."""
+        Returns a PhaseStream: padding may append fully invalid batches,
+        which metric aggregation must skip, and the superchunk count the
+        padding targets (``_phase`` must reuse it — recomputing it from the
+        padded length can disagree and split chunks off batch boundaries)."""
         bs = self.cfg.bs
         n = data.n_interactions
         real_batches = max(1, -(-n // bs))
-        n_chunks = max(1, -(-(real_batches * bs) // self.cfg.index_chunk))
+        # chunks hold whole batches, so there can never be more chunks than
+        # real batches (index_chunk < bs degenerates to one batch per chunk)
+        n_chunks = min(
+            real_batches,
+            max(1, -(-(real_batches * bs) // self.cfg.index_chunk)),
+        )
         per_chunk = -(-real_batches // n_chunks)
         n_batches = per_chunk * n_chunks
         pad = n_batches * bs - n
@@ -225,8 +246,8 @@ class Trainer:
             return np.concatenate([a, np.zeros(pad, dtype)]) if pad else a
 
         if sampler is not None and n > 0:
-            sampler.reset_random_state()
-            _, negs = sampler.sample(n)
+            # exact reference draw order (evaluation.py:10,30-31)
+            negs = sampler.sample_eval_negatives(n, bs)
         else:
             negs = np.zeros(n, np.int64)
 
@@ -240,7 +261,7 @@ class Trainer:
                 np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
             ),
         )
-        return stream, n_batches, real_batches
+        return PhaseStream(stream, n_batches, real_batches, n_chunks)
 
     def _phase(
         self,
@@ -252,7 +273,7 @@ class Trainer:
     ) -> Tuple[TpprState, PhaseResult]:
         t0 = time.time()
         cfg = self.cfg
-        stream, n_batches, real_batches = self._streams[stream_name]
+        stream, n_batches, real_batches, n_chunks = self._streams[stream_name]
         host = self._host_streams[stream_name]
         if train:
             # fresh negatives each training epoch (reference train.py:203)
@@ -282,8 +303,11 @@ class Trainer:
             # batches with the precomputed queries. Host↔device round trips
             # per chunk: one upload + two dispatches.
             total = stream.src.shape[0]
-            n_chunks = max(1, -(-total // cfg.index_chunk))
             chunk = total // n_chunks  # exact: upload pads to equal chunks
+            assert chunk % cfg.bs == 0 and chunk * n_chunks == total, (
+                "superchunks must hold whole batches "
+                f"(chunk={chunk}, bs={cfg.bs}, n_chunks={n_chunks})"
+            )
             all_metrics = []
             for ci, lo in enumerate(range(0, total, chunk)):
                 hi = min(lo + chunk, total)
