@@ -21,6 +21,16 @@ if os.environ.get("JAX_PLATFORMS"):
 
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+# persistent compile cache: on tunneled TPU deployments a cold compile of the
+# fused phase programs dominates short runs (tens of seconds to minutes each)
+import jax  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from zebra_tpu.config import Config
 from zebra_tpu.data.dataset import get_data, load_feat
 from zebra_tpu.train.loop import Trainer

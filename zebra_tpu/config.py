@@ -38,6 +38,11 @@ class Config:
 
     # ---- towers ----
     embedding_module: str = "diffusion"  # diffusion | graph_attention | graph_sum | identity | time
+    # message-source flags (reference train.py:35-36, tgn_model.py:217-218):
+    # build raw messages from the sender/recipient *embedding* of the batch
+    # that produced them instead of the memory row
+    use_source_embedding_in_message: bool = False
+    use_destination_embedding_in_message: bool = False
     memory_updater: str = "gru"          # gru | rnn (--memory_updater)
     message_function: str = "identity"   # identity | mlp (--message_function)
     aggregator: str = "last"             # last | mean (--aggregator)
@@ -106,9 +111,18 @@ class Config:
 
     @property
     def message_dim(self) -> int:
-        """Raw-message width: [mem_src; mem_dst; edge_feat; time_enc]
-        (reference tgn_model.py:60-61)."""
-        return 2 * self.memory_dim + self.edge_dim + self.time_dim
+        """Raw-message width: [src_part; dst_part; edge_feat; time_enc]
+        (reference tgn_model.py:60-61). With a use_*_embedding_in_message
+        flag the corresponding part is the embedding (hidden_dim wide); the
+        reference sizes the message 2·memory_dim regardless and therefore
+        crashes at runtime when a flag is combined with an embedding whose
+        width differs from memory_dim — here the updater cell is sized to the
+        actual message."""
+        src_part = (self.hidden_dim if self.use_source_embedding_in_message
+                    else self.memory_dim)
+        dst_part = (self.hidden_dim if self.use_destination_embedding_in_message
+                    else self.memory_dim)
+        return src_part + dst_part + self.edge_dim + self.time_dim
 
     @property
     def cell_input_dim(self) -> int:
@@ -151,6 +165,8 @@ class Config:
         p.add_argument("--memory_updater", type=str, default="gru", choices=["gru", "rnn"])
         p.add_argument("--embedding_module", type=str, default="diffusion")
         p.add_argument("--message_function", type=str, default="identity", choices=["mlp", "identity"])
+        p.add_argument("--use_source_embedding_in_message", action="store_true")
+        p.add_argument("--use_destination_embedding_in_message", action="store_true")
         p.add_argument("--aggregator", type=str, default="last")
         p.add_argument("--enable_random", action="store_true")
         p.add_argument("--save_best", action="store_true")

@@ -132,21 +132,45 @@ class LinkPredictor:
         t = np.asarray(t, np.float32)
         eidx = np.asarray(eidx, np.int32)
         valid = np.ones(len(src), bool)
+        b = len(src)
+        q = None
         if self.index_state != ():
-            self.index_state, _ = streaming_scan(
+            # the extraction emitted by the update scan is pre-edge — exactly
+            # the queries an eval forward at these events would see
+            self.index_state, q_raw = streaming_scan(
                 self.index_state, self._tppr, src, dst, dst, t, eidx, valid
             )
+            q = TpprQueries(
+                *(
+                    x.transpose(1, 2, 0, 3).reshape(x.shape[1], 3 * b, x.shape[3])
+                    for x in q_raw
+                )
+            )
+        cfg = self.cfg
+        src_emb = dst_emb = None
+        if (cfg.use_source_embedding_in_message
+                or cfg.use_destination_embedding_in_message):
+            if q is None and cfg.embedding_module == "diffusion":
+                q = self._queries(src, dst, t)
+            nodes3 = jnp.asarray(np.concatenate([src, dst, dst]), jnp.int32)
+            times3 = jnp.asarray(np.tile(t, 3), jnp.float32)
+            emb = _forward(cfg, self.params, self.mem, self.edge_feats,
+                           nodes3, times3, q, self.nbr_index, None,
+                           train=False)
+            src_emb, dst_emb = emb[:b], emb[b : 2 * b]
         self.mem = _observe_mem(
             self.cfg, self.params, self.mem, self.edge_feats,
             jnp.asarray(src), jnp.asarray(dst), jnp.asarray(t),
-            jnp.asarray(eidx),
+            jnp.asarray(eidx), src_emb, dst_emb,
         )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("mem",))
-def _observe_mem(cfg, params, mem, edge_feats, src, dst, t, eidx):
+def _observe_mem(cfg, params, mem, edge_feats, src, dst, t, eidx,
+                 src_emb=None, dst_emb=None):
     valid = jnp.ones(src.shape[0], bool)
-    mem = _store_messages(cfg, params, mem, edge_feats, src, dst, t, eidx, valid)
+    mem = _store_messages(cfg, params, mem, edge_feats, src, dst, t, eidx,
+                          valid, src_emb, dst_emb)
     positives = jnp.concatenate([src, dst])
     valid2 = jnp.concatenate([valid, valid])
     return _commit_pending(cfg, params, mem, positives, valid2)

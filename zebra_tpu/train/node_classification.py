@@ -65,8 +65,13 @@ def collect_source_embeddings(
         times3 = jnp.concatenate([s.t, s.t, s.t])
         emb = _forward(cfg, params, mem, edge_feats, nodes3, times3, q,
                        nbr_index, None, train=False)
+        need_emb = (cfg.use_source_embedding_in_message
+                    or cfg.use_destination_embedding_in_message)
+        src_emb, dst_emb = (
+            (emb[:b], emb[b : 2 * b]) if need_emb else (None, None)
+        )
         mem = _store_messages(cfg, params, mem, edge_feats, s.src, s.dst,
-                              s.t, s.eidx, s.valid)
+                              s.t, s.eidx, s.valid, src_emb, dst_emb)
         positives = jnp.concatenate([s.src, s.dst])
         valid2 = jnp.concatenate([s.valid, s.valid])
         mem = _commit_pending(cfg, params, mem, positives, valid2)

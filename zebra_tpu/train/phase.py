@@ -126,6 +126,13 @@ def run_phase(
     else:
         xs = (xs, None)
 
+    # the message-source flags consume this batch's embeddings in the raw
+    # messages (reference tgn_model.py:160-164, 217-218)
+    need_emb = (
+        cfg.use_source_embedding_in_message
+        or cfg.use_destination_embedding_in_message
+    )
+
     def loss_fn(p, mem, s, q, drop_rng, nodes3, times3, valid):
         emb = _forward(cfg, p, mem, edge_feats, nodes3, times3, q, nbr_index,
                        drop_rng, train=True)
@@ -137,7 +144,9 @@ def run_phase(
             neg_logit, jnp.zeros_like(neg_logit)
         )
         loss = _masked_mean(bce_pos, valid) + _masked_mean(bce_neg, valid)
-        return loss, (jax.nn.sigmoid(pos_logit), jax.nn.sigmoid(neg_logit))
+        aux = (jax.nn.sigmoid(pos_logit), jax.nn.sigmoid(neg_logit),
+               emb[: 2 * b] if need_emb else None)
+        return loss, aux
 
     def batch_body(carry, xs_item):
         s, q_rows = xs_item
@@ -168,16 +177,21 @@ def run_phase(
         valid2 = jnp.concatenate([s.valid, s.valid])
 
         if train:
-            (loss, (pos_p, neg_p)), grads = jax.value_and_grad(
+            (loss, (pos_p, neg_p, emb2b)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(params, mem, s, q, k_drop, nodes3, times3, s.valid)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            src_emb = dst_emb = None
+            if need_emb:  # message collection is no-grad (tgn_model.py:159)
+                emb2b = jax.lax.stop_gradient(emb2b)
+                src_emb, dst_emb = emb2b[:b], emb2b[b:]
             # commit previous batches' messages, then store this batch's
             # (one-batch staleness; reference tgn_model.py:155-168)
             mem = _commit_pending(cfg, params, mem, positives, valid2)
             mem = _store_messages(
-                cfg, params, mem, edge_feats, s.src, s.dst, s.t, s.eidx, s.valid
+                cfg, params, mem, edge_feats, s.src, s.dst, s.t, s.eidx,
+                s.valid, src_emb, dst_emb,
             )
         else:
             loss = jnp.zeros(())
@@ -185,9 +199,13 @@ def run_phase(
                            nbr_index, None, train=False)
             pos_logit, neg_logit = _scores(cfg, params, emb, b)
             pos_p, neg_p = jax.nn.sigmoid(pos_logit), jax.nn.sigmoid(neg_logit)
+            src_emb, dst_emb = (
+                (emb[:b], emb[b : 2 * b]) if need_emb else (None, None)
+            )
             # eval: store first, commit immediately (tgn_model.py:159-172)
             mem = _store_messages(
-                cfg, params, mem, edge_feats, s.src, s.dst, s.t, s.eidx, s.valid
+                cfg, params, mem, edge_feats, s.src, s.dst, s.t, s.eidx,
+                s.valid, src_emb, dst_emb,
             )
             mem = _commit_pending(cfg, params, mem, positives, valid2)
 

@@ -182,10 +182,17 @@ def _commit_pending(cfg, params, mem: MemoryState, positives, valid2):
     return new
 
 
-def _store_messages(cfg, params, mem: MemoryState, edge_feats, src, dst, t, eidx, valid):
+def _store_messages(cfg, params, mem: MemoryState, edge_feats, src, dst, t, eidx, valid,
+                    src_emb=None, dst_emb=None):
     """Collect this batch's raw messages, both directions, keeping only the
     chronologically last message per sender (reference tgn_model.py:204-226
-    with the flip/unique dedup at :206-211), and overwrite the pending slots."""
+    with the flip/unique dedup at :206-211), and overwrite the pending slots.
+
+    With cfg.use_source/destination_embedding_in_message the corresponding
+    message part is the batch's node *embedding* instead of the memory row
+    (reference tgn_model.py:217-218 with the concat layout of :160-164):
+    ``src_emb``/``dst_emb`` are the [b, H] embeddings of this batch's
+    src/dst query rows, positionally aligned with the events."""
     n = mem.memory.shape[0]
     snd = jnp.concatenate([src, dst])
     rcv = jnp.concatenate([dst, src])
@@ -202,11 +209,20 @@ def _store_messages(cfg, params, mem: MemoryState, edge_feats, src, dst, t, eidx
     )
     keep = valid2 & (winner[snd] == pos)
 
+    if cfg.use_source_embedding_in_message:
+        snd_part = jnp.concatenate([src_emb, dst_emb], axis=0)
+    else:
+        snd_part = mem.memory[snd]
+    if cfg.use_destination_embedding_in_message:
+        rcv_part = jnp.concatenate([dst_emb, src_emb], axis=0)
+    else:
+        rcv_part = mem.memory[rcv]
+
     basis = time_basis(cfg.time_dim)
     msg = jnp.concatenate(
         [
-            mem.memory[snd],
-            mem.memory[rcv],
+            snd_part,
+            rcv_part,
             edge_feats[e2],
             time_encode(t2 - mem.last_update[snd], basis),
         ],
