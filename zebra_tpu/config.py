@@ -66,10 +66,17 @@ class Config:
     ignore_edge_feats: bool = False
     ignore_node_feats: bool = False
 
-    # ---- debugging ----
+    # ---- debugging / observability ----
     debug_nans: bool = False         # enable jax NaN checks (SURVEY.md §5:
                                      # the 'race detection' analogue — jit
                                      # boundary sanitizers)
+    trace_dir: Optional[str] = None  # capture a jax.profiler device trace of
+                                     # one post-compile training epoch here
+    trace_epoch: int = 1             # 0-based epoch index to trace (default:
+                                     # the second epoch, after compiles)
+    profile: bool = False            # block around the index scan so the
+                                     # per-epoch tppr/train time split is
+                                     # exact (costs pipeline overlap)
 
     # ---- checkpointing / logging ----
     save_best: bool = False
@@ -183,6 +190,9 @@ class Config:
         p.add_argument("--index_chunk", type=int, default=65536)
         p.add_argument("--wave_cap", type=int, default=64)
         p.add_argument("--debug_nans", action="store_true")
+        p.add_argument("--trace_dir", type=str, default=None)
+        p.add_argument("--trace_epoch", type=int, default=1)
+        p.add_argument("--profile", action="store_true")
         p.add_argument("--no_pallas_merge", dest="pallas_merge",
                        action="store_false")
         p.add_argument("--prng_impl", type=str, default="rbg",

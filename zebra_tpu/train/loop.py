@@ -57,6 +57,7 @@ from zebra_tpu.index.streaming import TpprParams
 from zebra_tpu.index.waves import wave_flat_index, wave_scan_chunk
 from zebra_tpu.train.phase import Stream, run_phase
 from zebra_tpu.train.step import flush_pending_messages, make_optimizer
+from zebra_tpu.utils.profiling import PhaseTimers, trace_context
 
 logger = logging.getLogger("zebra_tpu")
 
@@ -309,8 +310,10 @@ class Trainer:
                 f"(chunk={chunk}, bs={cfg.bs}, n_chunks={n_chunks})"
             )
             all_metrics = []
+            t_index = 0.0
             for ci, lo in enumerate(range(0, total, chunk)):
                 hi = min(lo + chunk, total)
+                ti0 = time.time()
                 v = host["valid"][lo:hi]
                 flat_valid, n_waves = wave_flat_index(
                     host["src"][lo:hi][v], host["dst"][lo:hi][v],
@@ -327,6 +330,10 @@ class Trainer:
                     jnp.asarray(flat), n_waves, cfg.wave_cap,
                     self._use_pallas,
                 )
+                if cfg.profile:
+                    # exact index/tower split, at the cost of queue overlap
+                    jax.block_until_ready(queries)
+                t_index += time.time() - ti0
                 self.params, self.opt_state, self.mem, _, metrics = run_phase(
                     cfg, train, (hi - lo) // cfg.bs,
                     self.params, self.opt_state, self.mem, (),
@@ -346,6 +353,7 @@ class Trainer:
         return index_state, PhaseResult(
             loss=mean[0], ap=mean[1], auc=mean[2], acc=mean[3],
             seconds=time.time() - t0,
+            index_seconds=t_index if use_waves else 0.0,
         )
 
     def _eval_rng(self, seed: int):
@@ -456,13 +464,25 @@ class Trainer:
         n_epoch = n_epoch or cfg.n_epoch
         stopper = EarlyStopMonitor(max_round=cfg.patience)
         stop_epoch = -1
+        timers = PhaseTimers()
+        n_train_events = self.splits.train.n_interactions
 
         for epoch in range(n_epoch):
-            tr = self.train_epoch()
-            trans, induct = self.validate()
+            # capture a device trace of one post-compile epoch when asked
+            with trace_context(
+                cfg.trace_dir if epoch == cfg.trace_epoch else None
+            ):
+                with timers.time("train", n_train_events):
+                    tr = self.train_epoch()
+            timers.seconds["tppr"] += tr.index_seconds
+            with timers.time("val"):
+                trans, induct = self.validate()
             logger.info(
-                "epoch: %d, train: %.2fs, val: %.2fs", epoch + 1, tr.seconds,
+                "epoch: %d, tppr: %.2fs, train: %.2fs, val: %.2fs, "
+                "train events/s: %.0f",
+                epoch + 1, tr.index_seconds, tr.seconds,
                 trans.seconds + induct.seconds,
+                n_train_events / max(tr.seconds, 1e-9),
             )
             logger.info(
                 "train auc: %f, train ap: %f, train acc: %f, train loss: %f",
@@ -483,7 +503,9 @@ class Trainer:
                     self.checkpoint_path, {"params": self.params, "mem": self.mem}
                 )
 
-        t_trans, t_induct = self.test()
+        with timers.time("test"):
+            t_trans, t_induct = self.test()
+        logger.info("phase totals: %s", timers.summary())
         logger.info(
             "Test statistics: Old nodes -- auc: %f, ap: %f, acc: %f",
             t_trans.auc, t_trans.ap, t_trans.acc,
