@@ -314,6 +314,22 @@ def streaming_scan(
     return state, unpack_queries(rows, e_ts, len(params.alpha), params.k)
 
 
+@functools.partial(jax.jit, static_argnames=("n_tppr", "k"))
+def read_topk(
+    state: TpprState,
+    nodes3: jnp.ndarray,  # i32 [B, 3] query nodes (src, dst, neg columns)
+    t_q: jnp.ndarray,     # f32 [B] query times
+    n_tppr: int,
+    k: int,
+) -> TpprQueries:
+    """Read-only extraction: the *current* top-k of each query node at the
+    query time (reference extract_streaming_tppr, util.py:447-469), with no
+    state mutation and no scan — one O(B) row gather. This is the serving
+    fast path (scoring candidates must not advance the index)."""
+    rows = state.data[nodes3]  # [B, 3, F]
+    return unpack_queries(rows, t_q, n_tppr, k)
+
+
 @functools.partial(jax.jit, static_argnames=("params",), donate_argnames=("state",))
 def fill_scan(
     state: TpprState,

@@ -26,6 +26,7 @@ from zebra_tpu.config import Config
 from zebra_tpu.index.streaming import (
     TpprParams,
     TpprQueries,
+    read_topk,
     streaming_scan,
 )
 from zebra_tpu.models.memory import MemoryState
@@ -92,13 +93,19 @@ class LinkPredictor:
                 jnp.asarray(nodes3), jnp.asarray(times3),
                 self.cfg.n_degree, self.cfg.n_layer, self.cfg.topk,
             )
-        # streaming: extraction without mutation — a scan over zero-validity
-        # edges still emits the pre-edge rows for (src, dst, neg=dst)
-        state, q = streaming_scan(
-            jax.tree.map(jnp.copy, self.index_state), self._tppr,
-            np.asarray(src, np.int32), np.asarray(dst, np.int32),
-            np.asarray(dst, np.int32), np.asarray(t, np.float32),
-            np.zeros(b, np.int32), np.zeros(b, bool),
+        # streaming: read-only row gather — no state copy, no scan, O(batch)
+        # allocation (reference extract_streaming_tppr, util.py:447-469)
+        nodes3 = jnp.stack(
+            [
+                jnp.asarray(np.asarray(src, np.int32)),
+                jnp.asarray(np.asarray(dst, np.int32)),
+                jnp.asarray(np.asarray(dst, np.int32)),
+            ],
+            axis=1,
+        )
+        q = read_topk(
+            self.index_state, nodes3, jnp.asarray(np.asarray(t, np.float32)),
+            self.cfg.n_tppr, self.cfg.topk,
         )
         return TpprQueries(
             *(
