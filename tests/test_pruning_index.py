@@ -64,6 +64,9 @@ def test_count_before_and_recent_neighbors():
         ((0.1,), (0.9,), 4, 2, 6),
         ((0.1, 0.3), (0.9, 0.5), 3, 3, 5),
         ((0.0,), (0.6,), 5, 1, 8),
+        # C = 7+49+343 = 399 > 256: exercises the sort-based dedup path
+        # (the O(C²) match matrix would blow HBM at real depth-3 widths)
+        ((0.1,), (0.9,), 7, 3, 6),
     ],
 )
 def test_pruned_topk_matches_oracle(alpha_list, beta_list, width, depth, k):
@@ -111,3 +114,25 @@ def test_pruned_topk_matches_oracle(alpha_list, beta_list, width, depth, k):
                 assert w_any == pytest.approx(cut, rel=1e-4), (m, i, key)
             for key in set(want) & set(got):
                 assert got[key] == pytest.approx(want[key], rel=1e-4), (m, i, key)
+
+
+def test_dedup_paths_agree(monkeypatch):
+    """Match-matrix and sort-based dedup produce identical top-k output on
+    the same query set."""
+    import zebra_tpu.index.pruning as pruning
+
+    n_nodes, n_events = 25, 200
+    src, dst, ts, eidx = random_stream(n_events, n_nodes, seed=11)
+    index = build_neighbor_index(src, dst, ts, eidx, n_nodes)
+    rng = np.random.RandomState(5)
+    q_nodes = jnp.asarray(rng.randint(1, n_nodes, 32).astype(np.int32))
+    q_ts = jnp.asarray(rng.uniform(ts.min(), ts.max(), 32).astype(np.float32))
+    alpha = jnp.asarray([0.1, 0.0], jnp.float32)
+    beta = jnp.asarray([0.9, 0.5], jnp.float32)
+
+    out_matrix = pruning.pruned_topk_impl(index, alpha, beta, q_nodes, q_ts, 4, 2, 6)
+    monkeypatch.setattr(pruning, "_MATCH_MATRIX_MAX_C", 0)
+    out_sorted = pruning.pruned_topk_impl(index, alpha, beta, q_nodes, q_ts, 4, 2, 6)
+
+    for a, b in zip(out_matrix, out_sorted):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)

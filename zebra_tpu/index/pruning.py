@@ -26,6 +26,46 @@ import jax.numpy as jnp
 from zebra_tpu.index.neighbor_finder import NeighborIndex, most_recent_neighbors
 from zebra_tpu.index.streaming import TpprQueries
 
+# candidate-count threshold where dedup switches from the O(C²) key-match
+# matrix to the O(C log C) sort + segment-sum (see pruned_topk_impl)
+_MATCH_MATRIX_MAX_C = 256
+
+
+def _dedup_sorted(eidx, nbr, ts, w, valid):
+    """Sort-based duplicate folding: candidates sharing (eidx, nbr) collapse
+    into the run's first element, whose weight becomes the run total.
+
+    eidx/nbr/ts/valid: [Q, C]; w: [M, Q, C]. Returns the *key-sorted*
+    (eidx, nbr, ts, dedup_w) with invalid entries keyed to a sentinel and
+    zero weight (they never survive the live mask downstream)."""
+    q, c = eidx.shape
+    big = jnp.int32(2**30)
+    e_key = jnp.where(valid, eidx, big)
+    n_key = jnp.where(valid, nbr, big)
+    order = jnp.lexsort((n_key, e_key), axis=-1)            # [Q, C]
+
+    take = jnp.take_along_axis
+    e_s = take(e_key, order, 1)
+    n_s = take(n_key, order, 1)
+    ts_s = take(ts, order, 1)
+    w_s = take(jnp.where(valid[None], w, 0.0), order[None], 2)  # [M, Q, C]
+
+    newrun = jnp.concatenate(
+        [
+            jnp.ones((q, 1), bool),
+            (e_s[:, 1:] != e_s[:, :-1]) | (n_s[:, 1:] != n_s[:, :-1]),
+        ],
+        axis=1,
+    )
+    seg = jnp.cumsum(newrun, axis=1) - 1                    # [Q, C] run ids
+
+    def fold(w_mc, seg_c, first_c):
+        tot = jax.ops.segment_sum(w_mc.T, seg_c, num_segments=c)  # [C, M]
+        return jnp.where(first_c[:, None], tot[seg_c], 0.0).T     # [M, C]
+
+    dedup_w = jax.vmap(fold, in_axes=(1, 0, 0), out_axes=1)(w_s, seg, newrun)
+    return e_s, n_s, ts_s, dedup_w
+
 
 def pruned_topk_impl(
     index: NeighborIndex,
@@ -95,18 +135,26 @@ def pruned_topk_impl(
     w = jnp.concatenate(cand_w, axis=2)                     # [M, Q, C]
     valid = jnp.concatenate(cand_valid, axis=1)             # [Q, C]
 
-    # dedup on (eidx, nbr): fold weights into the first occurrence
+    # dedup on (eidx, nbr): fold weights into one representative entry.
+    # Two formulations with identical results: an O(C²) key-match matrix
+    # (wins on the VPU at the reference-default C ≈ 110) and an O(C log C)
+    # sort + segment-sum (necessary at depth ≥ 3 where C = Σ width^d makes
+    # the [Q, C, C] matrix blow past HBM — e.g. ~2 GB of bool at
+    # width 10 / depth 3 over a 3·bs query block).
     c = nbr.shape[1]
-    eq = (
-        (eidx[:, :, None] == eidx[:, None, :])
-        & (nbr[:, :, None] == nbr[:, None, :])
-        & valid[:, :, None]
-        & valid[:, None, :]
-    )                                                       # [Q, C, C]
-    tri = jnp.tril(jnp.ones((c, c), bool), k=-1)            # j < i
-    first = valid & ~jnp.any(eq & tri[None], axis=2)        # [Q, C]
-    total_w = jnp.einsum("qic,mqc->mqi", eq.astype(w.dtype), w)
-    dedup_w = jnp.where(first[None], total_w, 0.0)          # [M, Q, C]
+    if c <= _MATCH_MATRIX_MAX_C:
+        eq = (
+            (eidx[:, :, None] == eidx[:, None, :])
+            & (nbr[:, :, None] == nbr[:, None, :])
+            & valid[:, :, None]
+            & valid[:, None, :]
+        )                                                   # [Q, C, C]
+        tri = jnp.tril(jnp.ones((c, c), bool), k=-1)        # j < i
+        first = valid & ~jnp.any(eq & tri[None], axis=2)    # [Q, C]
+        total_w = jnp.einsum("qic,mqc->mqi", eq.astype(w.dtype), w)
+        dedup_w = jnp.where(first[None], total_w, 0.0)      # [M, Q, C]
+    else:
+        eidx, nbr, ts, dedup_w = _dedup_sorted(eidx, nbr, ts, w, valid)
 
     # top-k with the same canonical tie-break as the streaming index
     # (weight desc, eidx asc, nbr asc)
