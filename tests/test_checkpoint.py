@@ -18,7 +18,7 @@ def test_save_restore_exact(tmp_path):
     r_cont = t1.train_epoch()
 
     t2 = _make_trainer("streaming")
-    assert t2.restore_state(path) == 1
+    assert t2.restore_state(path) == (1, 0)
     r_res = t2.train_epoch()
 
     assert r_cont.loss == r_res.loss
@@ -31,6 +31,66 @@ def test_save_restore_exact(tmp_path):
         jax.tree.leaves(t1.index_state), jax.tree.leaves(t2.index_state)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mid_epoch_cursor_resume_exact(tmp_path):
+    """Stopping an epoch at a superchunk boundary, checkpointing the cursor,
+    and resuming in a fresh Trainer lands on bit-identical state to an
+    uninterrupted epoch (same negatives, same dropout keys)."""
+    path = str(tmp_path / "mid.ckpt")
+
+    # uninterrupted epoch (fixed host RNG so negatives match across trainers)
+    t1 = _make_trainer("streaming")
+    n_chunks = t1._streams["train"].n_chunks
+    assert n_chunks >= 2, "test needs multiple superchunks"
+    t1.train_epoch()
+
+    t2 = _make_trainer("streaming")
+    t2.train_epoch(max_chunks=2)
+    assert t2._chunk_cursor == 2
+    t2.save_state(path, epoch=0)
+
+    t3 = _make_trainer("streaming")
+    epoch, chunk = t3.restore_state(path)
+    assert (epoch, chunk) == (0, 2)
+    t3.train_epoch(start_chunk=chunk)
+
+    for a, b in zip(jax.tree.leaves(t1.params), jax.tree.leaves(t3.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(t1.mem), jax.tree.leaves(t3.mem)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree.leaves(t1.index_state), jax.tree.leaves(t3.index_state)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_legacy_raw_tree_checkpoint_loads(tmp_path):
+    """Round-1 checkpoints (raw pickled trees, no version wrapper) load."""
+    import pickle
+
+    from zebra_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    path = str(tmp_path / "legacy.ckpt")
+    tree = {"a": np.arange(3), "b": 7}
+    with open(path, "wb") as f:
+        pickle.dump(tree, f)
+    out = load_checkpoint(path)
+    np.testing.assert_array_equal(out["a"], tree["a"])
+
+    # versioned round-trip
+    save_checkpoint(path, tree)
+    out = load_checkpoint(path)
+    np.testing.assert_array_equal(out["a"], tree["a"])
+
+    # future versions refuse to load
+    with open(path, "wb") as f:
+        pickle.dump({"magic": "zebra_tpu_checkpoint", "version": 99,
+                     "tree": {}}, f)
+    import pytest
+
+    with pytest.raises(ValueError, match="version 99"):
+        load_checkpoint(path)
 
 
 def test_phase_timers():

@@ -3,8 +3,13 @@
 The reference saves only ``(state_dict, memory)`` at new best-val epochs
 (reference train.py:289-291) and reconstructs the T-PPR index by replay; here
 the whole state is a pytree, so checkpoints cover params, optimizer state,
-node memory (incl. pending messages), and — optionally — the dense index
-state plus the stream cursor, enabling exact restart (SURVEY.md §5)."""
+node memory (incl. pending messages), the dense index state, and the stream
+cursor, enabling exact restart (SURVEY.md §5).
+
+On-disk format: a pickled dict ``{"magic", "version", "tree"}``. The version
+gates layout changes across releases — loading a checkpoint written by an
+incompatible layout fails loudly instead of mis-deserializing. Version 1
+checkpoints (raw pickled trees from round 1) load transparently."""
 
 from __future__ import annotations
 
@@ -15,15 +20,28 @@ from typing import Any
 import jax
 import numpy as np
 
+MAGIC = "zebra_tpu_checkpoint"
+VERSION = 2
+
 
 def save_checkpoint(path: str, tree: Any) -> None:
     host_tree = jax.tree.map(np.asarray, tree)
+    payload = {"magic": MAGIC, "version": VERSION, "tree": host_tree}
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
-        pickle.dump(host_tree, f)
+        pickle.dump(payload, f)
     os.replace(tmp, path)
 
 
 def load_checkpoint(path: str) -> Any:
     with open(path, "rb") as f:
-        return pickle.load(f)
+        payload = pickle.load(f)
+    if not (isinstance(payload, dict) and payload.get("magic") == MAGIC):
+        return payload  # version-1 (round-1) checkpoint: the raw tree
+    version = payload["version"]
+    if version > VERSION:
+        raise ValueError(
+            f"checkpoint {path!r} has version {version}, newer than this "
+            f"build's {VERSION} — refusing to guess at its layout"
+        )
+    return payload["tree"]

@@ -197,6 +197,12 @@ class Trainer:
             cfg.checkpoint_dir, cfg.run_name() + ".ckpt"
         )
 
+        # mid-epoch resume bookkeeping (wave path): this epoch's negatives,
+        # per-epoch dropout key, and the next superchunk to run
+        self._epoch_negs: Optional[np.ndarray] = None
+        self._epoch_rng = None
+        self._chunk_cursor = 0
+
     # ---------------------------------------------------------------- helpers
 
     def _apply_shardings(self):
@@ -271,17 +277,30 @@ class Trainer:
         index_state,
         nbr_index,
         rng,
+        start_chunk: int = 0,
+        max_chunks: Optional[int] = None,
     ) -> Tuple[TpprState, PhaseResult]:
+        """Run one phase. ``start_chunk``/``max_chunks`` window a training
+        epoch to a range of superchunks (wave path only) for mid-epoch
+        checkpoint/resume: state comes from the checkpoint, this epoch's
+        already-drawn negatives are reused, ``self._chunk_cursor`` tracks the
+        next chunk to run, and the returned metrics cover only the chunks
+        actually run."""
         t0 = time.time()
         cfg = self.cfg
         stream, n_batches, real_batches, n_chunks = self._streams[stream_name]
         host = self._host_streams[stream_name]
         if train:
-            # fresh negatives each training epoch (reference train.py:203)
-            n = self.splits.train.n_interactions
-            _, negs = self.train_sampler.sample(n)
-            pad = stream.src.shape[0] - n
-            negs = np.concatenate([negs, np.zeros(pad, negs.dtype)]).astype(np.int32)
+            if start_chunk == 0 or self._epoch_negs is None:
+                # fresh negatives each training epoch (reference train.py:203)
+                n = self.splits.train.n_interactions
+                _, negs = self.train_sampler.sample(n)
+                pad = stream.src.shape[0] - n
+                negs = np.concatenate(
+                    [negs, np.zeros(pad, negs.dtype)]
+                ).astype(np.int32)
+                self._epoch_negs = negs
+            negs = self._epoch_negs
             stream = stream._replace(neg=jnp.asarray(negs))
             host = dict(host, neg=negs)
 
@@ -312,6 +331,10 @@ class Trainer:
             all_metrics = []
             t_index = 0.0
             for ci, lo in enumerate(range(0, total, chunk)):
+                if ci < start_chunk:
+                    continue  # mid-epoch resume: state covers these already
+                if max_chunks is not None and ci >= start_chunk + max_chunks:
+                    break
                 hi = min(lo + chunk, total)
                 ti0 = time.time()
                 v = host["valid"][lo:hi]
@@ -341,10 +364,15 @@ class Trainer:
                     chunk_stream, queries,
                 )
                 all_metrics.append(metrics)
+                self._chunk_cursor = ci + 1
             ms = jax.tree.map(
                 lambda *xs: np.concatenate([np.asarray(x) for x in xs]),
                 *all_metrics,
             )
+            # metrics cover chunks [start_chunk, cursor): window the
+            # real-batch count accordingly
+            start_b = start_chunk * (chunk // cfg.bs)
+            real_batches = max(1, min(ms.loss.shape[0], real_batches - start_b))
 
         mean = [
             float(x[:real_batches].mean())
@@ -363,21 +391,32 @@ class Trainer:
 
     # ---------------------------------------------------------------- epochs
 
-    def train_epoch(self) -> PhaseResult:
+    def train_epoch(self, start_chunk: int = 0,
+                    max_chunks: Optional[int] = None) -> PhaseResult:
         """One training epoch from zeroed memory and empty index (reference
         train.py:188-227). The state reset is one fused device call — on
-        tunneled deployments every dispatch costs tens of ms."""
-        cfg = self.cfg
-        self.mem, self.index_state = _fresh_epoch_state(cfg)
-        if self._mesh is not None:
-            from zebra_tpu.parallel import shard_index_state, shard_memory
+        tunneled deployments every dispatch costs tens of ms.
 
-            self.mem = shard_memory(self.mem, self._mesh)
-            self.index_state = shard_index_state(self.index_state, self._mesh)
-        self.rng, rng = jax.random.split(self.rng)
+        ``start_chunk > 0`` resumes a partially-run epoch from restored
+        state (no reset); ``max_chunks`` stops after that many superchunks
+        so the caller can ``save_state`` a mid-epoch cursor."""
+        cfg = self.cfg
+        if start_chunk == 0:
+            self.mem, self.index_state = _fresh_epoch_state(cfg)
+            if self._mesh is not None:
+                from zebra_tpu.parallel import shard_index_state, shard_memory
+
+                self.mem = shard_memory(self.mem, self._mesh)
+                self.index_state = shard_index_state(self.index_state, self._mesh)
+            self.rng, self._epoch_rng = jax.random.split(self.rng)
         self.index_state, result = self._phase(
-            "train", True, self.index_state, self.train_nbr_index, rng
+            "train", True, self.index_state, self.train_nbr_index,
+            self._epoch_rng, start_chunk, max_chunks,
         )
+        if self._chunk_cursor >= self._streams["train"].n_chunks:
+            # epoch complete: the cursor and its epoch-scoped state expire
+            self._chunk_cursor = 0
+            self._epoch_negs = None
         return result
 
     def validate(self) -> Tuple[PhaseResult, PhaseResult]:
@@ -428,11 +467,19 @@ class Trainer:
 
     # ---------------------------------------------------------------- checkpoint
 
-    def save_state(self, path: str, epoch: int = 0) -> None:
+    def save_state(self, path: str, epoch: int = 0,
+                   chunk: Optional[int] = None) -> None:
         """Full-state checkpoint: params, optimizer, node memory, T-PPR index,
         PRNG keys, and the host RNG driving train negatives — enough for an
         exact restart (the reference checkpoints only (state_dict, memory),
-        train.py:291, and reconstructs the index by replay)."""
+        train.py:291, and reconstructs the index by replay).
+
+        ``chunk`` records a mid-epoch stream cursor (the next superchunk to
+        run; defaults to the Trainer's own cursor). A nonzero cursor also
+        stores this epoch's negatives and dropout key so the resumed chunks
+        see exactly what an uninterrupted epoch would."""
+        if chunk is None:
+            chunk = self._chunk_cursor
         save_checkpoint(path, {
             "params": self.params,
             "opt_state": self.opt_state,
@@ -441,10 +488,15 @@ class Trainer:
             "rng": self.rng,
             "np_random": np.random.get_state(),
             "epoch": epoch,
+            "chunk": chunk,
+            "epoch_negs": self._epoch_negs if chunk else None,
+            "epoch_rng": self._epoch_rng if chunk else None,
         })
 
-    def restore_state(self, path: str) -> int:
-        """Restore a ``save_state`` checkpoint; returns the stored epoch."""
+    def restore_state(self, path: str) -> Tuple[int, int]:
+        """Restore a ``save_state`` checkpoint; returns (epoch, chunk) — pass
+        ``chunk`` to ``train_epoch(start_chunk=...)`` to finish a partially
+        trained epoch."""
         ckpt = load_checkpoint(path)
         as_dev = lambda t: jax.tree.map(jnp.asarray, t)
         self.params = as_dev(ckpt["params"])
@@ -455,7 +507,13 @@ class Trainer:
         )
         self.rng = jnp.asarray(ckpt["rng"])
         np.random.set_state(ckpt["np_random"])
-        return int(ckpt["epoch"])
+        chunk = int(ckpt.get("chunk", 0) or 0)
+        self._chunk_cursor = chunk
+        if ckpt.get("epoch_negs") is not None:
+            self._epoch_negs = np.asarray(ckpt["epoch_negs"])
+        if ckpt.get("epoch_rng") is not None:
+            self._epoch_rng = jnp.asarray(ckpt["epoch_rng"])
+        return int(ckpt["epoch"]), chunk
 
     # ---------------------------------------------------------------- run
 
