@@ -123,11 +123,29 @@ class Trainer:
             seed=SEED_NN_TEST,
         )
 
-        # device-resident padded streams, uploaded once, plus host (numpy)
-        # copies feeding the wave scheduler. Eval negatives are deterministic
-        # per phase (seeded sampler, reset before each pass — reference
-        # evaluation.py:9-10), so they are drawn once here; the train
-        # stream's negatives are redrawn every epoch.
+        # The full chronological stream uploads ONCE; every phase stream is a
+        # device-side gather of its (padded) event positions — per phase only
+        # an int32 index vector, the negatives, and the valid mask cross
+        # host→device (~9 B/event vs ~17 for re-uploading the columns, and
+        # train/val/test would otherwise re-ship slices of the same events).
+        # Host (numpy) copies feed the wave scheduler with no device
+        # readback. Eval negatives are deterministic per phase (seeded
+        # sampler, reset before each pass — reference evaluation.py:9-10), so
+        # they are drawn once here; the train stream's negatives are redrawn
+        # every epoch.
+        fu_full = splits.full
+        self._full_dev = (
+            jnp.asarray(np.asarray(fu_full.sources, np.int32)),
+            jnp.asarray(np.asarray(fu_full.destinations, np.int32)),
+            jnp.asarray(np.asarray(fu_full.timestamps, np.float32)),
+            jnp.asarray(np.asarray(fu_full.edge_idxs, np.int32)),
+        )
+        max_eidx = int(np.max(fu_full.edge_idxs)) if fu_full.n_interactions else 0
+        self._pos_of_eidx = np.zeros(max_eidx + 1, np.int64)
+        self._pos_of_eidx[np.asarray(fu_full.edge_idxs, np.int64)] = np.arange(
+            fu_full.n_interactions
+        )
+
         self._streams: Dict[str, PhaseStream] = {}
         self._host_streams: Dict[str, Dict[str, np.ndarray]] = {}
         for name, data, sampler in (
@@ -137,12 +155,9 @@ class Trainer:
             ("nn_val", splits.new_node_val, self.val_sampler),
             ("nn_test", splits.new_node_test, self.nn_test_sampler),
         ):
-            self._streams[name] = self._upload_stream(data, sampler)
-            st = self._streams[name].stream
-            self._host_streams[name] = {
-                f: np.asarray(getattr(st, f))
-                for f in ("src", "dst", "neg", "t", "eidx", "valid")
-            }
+            self._streams[name], self._host_streams[name] = (
+                self._upload_stream(data, sampler)
+            )
 
         # adjacency indices: pruning queries and the recursive towers use the
         # train graph during training and the full graph during val/test
@@ -228,13 +243,16 @@ class Trainer:
     def _upload_stream(self, data: Data, sampler):
         """Pad a chronological stream to whole batches — and to equal-size
         wave-pipeline superchunks, so each stream compiles exactly one
-        (wave_scan_chunk, run_phase) shape pair — and upload; draw the
-        phase's negatives when a seeded sampler is given.
+        (wave_scan_chunk, run_phase) shape pair — and materialize it on
+        device by gathering from the once-uploaded full stream (only the
+        event-position index vector, negatives, and valid mask transfer);
+        draw the phase's negatives when a seeded sampler is given.
 
-        Returns a PhaseStream: padding may append fully invalid batches,
-        which metric aggregation must skip, and the superchunk count the
-        padding targets (``_phase`` must reuse it — recomputing it from the
-        padded length can disagree and split chunks off batch boundaries)."""
+        Returns (PhaseStream, host columns): padding may append fully invalid
+        batches, which metric aggregation must skip, and the superchunk count
+        the padding targets (``_phase`` must reuse it — recomputing it from
+        the padded length can disagree and split chunks off batch
+        boundaries)."""
         bs = self.cfg.bs
         n = data.n_interactions
         real_batches = max(1, -(-n // bs))
@@ -258,17 +276,26 @@ class Trainer:
         else:
             negs = np.zeros(n, np.int64)
 
-        stream = Stream(
-            src=jnp.asarray(p(data.sources, np.int32)),
-            dst=jnp.asarray(p(data.destinations, np.int32)),
-            neg=jnp.asarray(p(negs, np.int32)),
-            t=jnp.asarray(p(data.timestamps, np.float32)),
-            eidx=jnp.asarray(p(data.edge_idxs, np.int32)),
-            valid=jnp.asarray(
-                np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
-            ),
+        pos = (
+            self._pos_of_eidx[np.asarray(data.edge_idxs, np.int64)]
+            if n else np.zeros(0, np.int64)
         )
-        return PhaseStream(stream, n_batches, real_batches, n_chunks)
+        valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+        stream = _gather_stream(
+            self._full_dev,
+            jnp.asarray(p(pos, np.int32)),
+            jnp.asarray(p(negs, np.int32)),
+            jnp.asarray(valid),
+        )
+        host = {
+            "src": p(data.sources, np.int32),
+            "dst": p(data.destinations, np.int32),
+            "neg": p(negs, np.int32),
+            "t": p(data.timestamps, np.float32),
+            "eidx": p(data.edge_idxs, np.int32),
+            "valid": valid,
+        }
+        return PhaseStream(stream, n_batches, real_batches, n_chunks), host
 
     def _phase(
         self,
@@ -583,6 +610,19 @@ class Trainer:
             "nn_test_acc": t_induct.acc,
             "stop_epoch": float(stop_epoch),
         }
+
+
+@jax.jit
+def _gather_stream(full, pos, negs, valid) -> Stream:
+    """Materialize a phase stream by gathering the full stream's columns at
+    ``pos`` (padding slots gather row 0 and are zeroed via ``valid``)."""
+    src, dst, t, eidx = full
+    g = lambda a: jnp.where(valid, a[pos], jnp.zeros((), a.dtype))
+    return Stream(
+        src=g(src), dst=g(dst),
+        neg=jnp.where(valid, negs, 0),
+        t=g(t), eidx=g(eidx), valid=valid,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
