@@ -1,0 +1,158 @@
+"""Worker + shared input builder for the multi-process equivalence test
+(tests/test_multiprocess.py). Run as a subprocess:
+
+    python tests/mp_worker.py <coordinator_port> <process_id> <num_processes> \
+        <local_devices> <out.npz>
+
+Every process builds identical host inputs (deterministic construction),
+shards them over the GLOBAL mesh, runs one fused training phase, and writes
+the metrics plus the allgathered final state. The test asserts all processes
+agree with each other and with a single-process run over the same total
+device count — SURVEY.md §7 stage 6's "N-host == 1-host" equivalence, on
+CPU (Gloo collectives) without a pod."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+
+def _force_cpu(n_local_devices: int) -> None:
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={n_local_devices}"
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def build_inputs():
+    """Deterministic tiny train-phase inputs (identical in every process)."""
+    import jax
+
+    # Pin the PRNG impl: an earlier in-suite Trainer may have set the global
+    # default to the config's rbg, while fresh worker processes see threefry.
+    jax.config.update("jax_default_prng_impl", "threefry2x32")
+
+    from zebra_tpu.config import Config
+    from zebra_tpu.data.dataset import split_data
+    from zebra_tpu.data.synthetic import synthetic_stream
+    from zebra_tpu.index.streaming import init_tppr_state
+    from zebra_tpu.models.memory import init_memory
+    from zebra_tpu.models.tgn import init_tgn_params
+    from zebra_tpu.train.step import make_optimizer
+
+    cfg = Config(
+        data="mp", bs=8, node_dim=8, time_dim=8, memory_dim=8, topk=3,
+        alpha_list=(0.1, 0.2), beta_list=(0.9, 0.8),
+        tppr_strategy="streaming", message_dtype="float32",
+    )
+    data, edge_feats = synthetic_stream(
+        n_events=160, n_users=24, n_items=24, edge_dim=4, seed=0
+    )
+    splits = split_data(
+        data.sources, data.destinations, data.timestamps, data.edge_idxs,
+        data.labels,
+    )
+    n_nodes = -(-(splits.n_nodes + 1) // 128) * 128
+    cfg = cfg.replace(n_nodes=n_nodes, n_edges=splits.n_edges + 1,
+                      edge_dim=edge_feats.shape[1])
+
+    tr = splits.train
+    n = tr.n_interactions
+    n_batches = -(-n // cfg.bs)
+    pad = n_batches * cfg.bs - n
+    rng = np.random.RandomState(7)
+    negs = rng.randint(1, splits.n_nodes + 1, n)
+
+    def p(a, dtype):
+        a = np.asarray(a, dtype)
+        return np.concatenate([a, np.zeros(pad, dtype)]) if pad else a
+
+    stream_np = dict(
+        src=p(tr.sources, np.int32), dst=p(tr.destinations, np.int32),
+        neg=p(negs, np.int32), t=p(tr.timestamps, np.float32),
+        eidx=p(tr.edge_idxs, np.int32),
+        valid=np.concatenate([np.ones(n, bool), np.zeros(pad, bool)]),
+    )
+    to_np = lambda t: jax.tree.map(np.asarray, t)
+    params = to_np(init_tgn_params(jax.random.PRNGKey(0), cfg))
+    opt_state = to_np(make_optimizer(cfg).init(params))
+    mem = to_np(init_memory(cfg.n_nodes, cfg.memory_dim, cfg.message_dim,
+                            np.float32))
+    index = to_np(init_tppr_state(cfg.n_tppr, cfg.n_nodes, cfg.topk))
+    return cfg, n_batches, params, opt_state, mem, index, stream_np, \
+        np.asarray(edge_feats, np.float32)
+
+
+def run_phase_on_mesh(mesh):
+    """Shard the deterministic inputs over ``mesh``, run one fused training
+    phase, and return (metrics, final memory table, final index table) as
+    host numpy (allgathered when shards span processes)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from zebra_tpu.models.memory import MemoryState
+    from zebra_tpu.index.streaming import TpprState
+    from zebra_tpu.train.phase import Stream, run_phase
+
+    cfg, n_batches, params, opt_state, mem_np, index_np, stream_np, ef = (
+        build_inputs()
+    )
+    rep = NamedSharding(mesh, P())
+    row = lambda ndim: NamedSharding(
+        mesh, P(*(("data",) + (None,) * (ndim - 1)))
+    )
+    put_rep = lambda t: jax.tree.map(lambda x: jax.device_put(x, rep), t)
+    put_row = lambda t: jax.tree.map(
+        lambda x: jax.device_put(x, row(np.ndim(x))), t
+    )
+
+    params = put_rep(params)
+    opt_state = put_rep(opt_state)
+    mem = MemoryState(**put_row(mem_np._asdict()))
+    index = TpprState(**put_row(index_np._asdict()))
+    stream = Stream(**put_rep(stream_np))
+    edge_feats = jax.device_put(ef, rep)
+    rng = jax.device_put(jax.random.PRNGKey(3), rep)
+
+    params, opt_state, mem, index, metrics = run_phase(
+        cfg, True, n_batches, params, opt_state, mem, index, rng,
+        edge_feats, (), stream,
+    )
+    jax.block_until_ready(metrics)
+
+    from jax.experimental import multihost_utils
+
+    def host(x):
+        if x.is_fully_addressable:
+            return np.asarray(x)
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+    ms = {k: host(v) for k, v in metrics._asdict().items()}
+    return ms, host(mem.memory), host(index.data)
+
+
+def main():
+    port, pid, n_proc, n_local, out = sys.argv[1:6]
+    _force_cpu(int(n_local))
+    import jax
+
+    jax.distributed.initialize(
+        f"localhost:{port}", num_processes=int(n_proc), process_id=int(pid)
+    )
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    ms, mem_tbl, idx_tbl = run_phase_on_mesh(mesh)
+    np.savez(out, mem=mem_tbl, index=idx_tbl, **ms)
+    print(f"worker {pid}: ok over {len(jax.devices())} global devices",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""Multi-process (multi-"host") equivalence: 2 processes × 4 virtual CPU
+devices running the fused train phase over one global 8-device mesh must
+produce the same results as a single process with 8 devices — the
+"N-host == 1-host" criterion of SURVEY.md §7 stage 6, exercised with real
+cross-process (Gloo) collectives and no pod."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "mp_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_matches_single_process(tmp_path):
+    port = _free_port()
+    outs = [str(tmp_path / f"w{i}.npz") for i in range(2)]
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)  # worker sets its own device count (4)
+        env["PYTHONPATH"] = REPO
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER, str(port), str(pid), "2", "4", outs[pid]],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    logs = [p.communicate(timeout=540)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log
+
+    w0 = np.load(outs[0])
+    w1 = np.load(outs[1])
+
+    # both processes observe identical global results
+    for key in w0.files:
+        np.testing.assert_array_equal(w0[key], w1[key], err_msg=key)
+
+    # single-process baseline over the same total device count (conftest
+    # forces 8 virtual CPU devices here)
+    import jax
+    from jax.sharding import Mesh
+
+    from tests.mp_worker import run_phase_on_mesh
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    ms, mem_tbl, idx_tbl = run_phase_on_mesh(mesh)
+
+    # the index scan is elementwise + small sorts: bit-exact across runtimes;
+    # tower outputs may differ only by cross-process reduction ordering
+    np.testing.assert_array_equal(w0["index"], idx_tbl)
+    np.testing.assert_allclose(w0["mem"], mem_tbl, rtol=1e-5, atol=1e-6)
+    for key in ("loss", "ap", "auc", "acc"):
+        np.testing.assert_allclose(w0[key], ms[key], rtol=1e-5, atol=1e-6,
+                                   err_msg=key)
+    assert np.isfinite(w0["loss"]).all()

@@ -118,3 +118,83 @@ def test_wave_scan_with_self_loops():
         jnp.asarray(flat), n_waves, 4,
     )
     np.testing.assert_array_equal(np.asarray(s_seq.data), np.asarray(s_wav.data))
+
+
+def test_owner_aligned_schedule():
+    """Owner-aligned scheduling keeps every edge in its src row owner's lane
+    block, preserves all data dependencies, and the wave scan over it stays
+    bit-exact with the sequential scan."""
+    n_nodes, e, cap, n_shards = 64, 500, 16, 4
+    block = cap // n_shards
+    rows_per_shard = -(-n_nodes // n_shards)
+    src, dst, neg, ts, eidx = random_stream(e, n_nodes, seed=5)
+
+    wave, slot, n_waves = wave_schedule(src, dst, neg, n_nodes, cap,
+                                        n_shards=n_shards)
+    assert slot.max() < cap
+
+    # alignment: slot block == owner(src)
+    np.testing.assert_array_equal(slot // block, src // rows_per_shard)
+
+    # same dependency invariant as the unaligned scheduler
+    ver = np.zeros(n_nodes, np.int64)
+    seq_reads = np.zeros((e, 3), np.int64)
+    for i in range(e):
+        seq_reads[i] = [ver[src[i]], ver[dst[i]], ver[neg[i]]]
+        ver[src[i]] += 1
+        ver[dst[i]] += 1
+    ver = np.zeros(n_nodes, np.int64)
+    wave_reads = np.zeros((e, 3), np.int64)
+    for w in range(n_waves):
+        idx = np.where(wave == w)[0]
+        for i in idx:
+            wave_reads[i] = [ver[src[i]], ver[dst[i]], ver[neg[i]]]
+        both = [(s, d) for s, d in zip(src[idx], dst[idx])]
+        flat = [v for s, d in both for v in ((s,) if s == d else (s, d))]
+        assert len(set(flat)) == len(flat), f"write collision in wave {w}"
+        for i in idx:
+            ver[src[i]] += 1
+            ver[dst[i]] += 1
+    np.testing.assert_array_equal(wave_reads, seq_reads)
+
+    # the device scan over the aligned schedule matches sequential
+    params = TpprParams.create((0.1,), (0.9,), 5)
+    s_seq = init_tppr_state(1, n_nodes, 5)
+    s_seq, _ = streaming_scan(s_seq, params, src, dst, neg, ts, eidx,
+                              np.ones(e, bool))
+    flat_idx, n_w = wave_flat_index(src, dst, neg, n_nodes, cap=cap,
+                                    wave_bucket=16, n_shards=n_shards)
+    s_wav = init_tppr_state(1, n_nodes, 5)
+    s_wav, _ = wave_scan_chunk(
+        s_wav, params, src, dst, neg, ts, eidx, np.ones(e, bool),
+        jnp.asarray(flat_idx), n_w, cap,
+    )
+    np.testing.assert_array_equal(np.asarray(s_seq.data), np.asarray(s_wav.data))
+
+
+def test_owner_aligned_python_fallback_matches_native():
+    """The pure-python fallback scheduler implements the same algorithm as
+    the C++ one (both variants)."""
+    from zebra_tpu.native import ingest
+
+    if not ingest.native_available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    n_nodes, e = 32, 200
+    src, dst, neg, _, _ = random_stream(e, n_nodes, seed=9)
+
+    for n_shards in (1, 4):
+        w_c, s_c, n_c = ingest.wave_schedule(src, dst, neg, n_nodes, 8,
+                                             n_shards=n_shards)
+        lib, ingest._lib = ingest._lib, None
+        flag = ingest._build_failed
+        ingest._build_failed = True
+        try:
+            w_p, s_p, n_p = ingest.wave_schedule(src, dst, neg, n_nodes, 8,
+                                                 n_shards=n_shards)
+        finally:
+            ingest._lib, ingest._build_failed = lib, flag
+        assert n_c == n_p
+        np.testing.assert_array_equal(w_c, w_p)
+        np.testing.assert_array_equal(s_c, s_p)

@@ -54,6 +54,11 @@ def setup_logging(cfg: Config) -> logging.Logger:
 
 def main(argv=None):
     cfg = Config.from_args(argv)
+    from zebra_tpu.parallel import initialize_distributed
+
+    initialize_distributed(
+        cfg.dist_coordinator, cfg.dist_num_processes, cfg.dist_process_id
+    )
     logger = setup_logging(cfg)
     logger.info(cfg)
 

@@ -85,8 +85,18 @@ class Config:
 
     # ---- parallelism (new; no reference analogue, SURVEY.md §2 row 26) ----
     n_devices: int = 1               # 1 = single device; 0 = all visible; N = mesh of N
+    # multi-process bring-up (jax.distributed); env fallbacks:
+    # ZEBRA_COORDINATOR / ZEBRA_NUM_PROCESSES / ZEBRA_PROCESS_ID
+    dist_coordinator: Optional[str] = None  # e.g. "host0:8476"
+    dist_num_processes: int = 1
+    dist_process_id: int = 0
     index_chunk: int = 65536         # events per wave-pipeline superchunk
     wave_cap: int = 64               # max edges per wave (static lane count)
+    owner_aligned_waves: bool = False  # pack each wave's lanes into per-shard
+                                       # blocks keyed by the src row's owner
+                                       # (keeps src-row traffic chip-local on
+                                       # sharded meshes; costs wave count
+                                       # under node skew)
     pallas_merge: bool = True        # fused Pallas kernel for the SANTA merge
                                      # (used when running on TPU; ~3x the
                                      # XLA merge)
@@ -97,6 +107,11 @@ class Config:
                                      # [N, msg_dim] table dominates HBM and
                                      # the lazy-update gather bandwidth
                                      # (2.15GB f32 at Wiki-Talk scale)
+    memory_dtype: str = "float32"    # node-memory table storage dtype;
+                                     # bfloat16 halves the recurrent state's
+                                     # HBM traffic but compounds rounding
+                                     # across commits — A/B with
+                                     # scripts/parity_run.py before changing
 
     # ---- filled from data at runtime ----
     n_nodes: int = 0                 # max node id + 1 (ids are 1-based; 0 = padding)
@@ -187,8 +202,12 @@ class Config:
         p.add_argument("--time_dim", type=int, default=100)
         p.add_argument("--memory_dim", type=int, default=100)
         p.add_argument("--n_devices", type=int, default=1)
+        p.add_argument("--dist_coordinator", type=str, default=None)
+        p.add_argument("--dist_num_processes", type=int, default=1)
+        p.add_argument("--dist_process_id", type=int, default=0)
         p.add_argument("--index_chunk", type=int, default=65536)
         p.add_argument("--wave_cap", type=int, default=64)
+        p.add_argument("--owner_aligned_waves", action="store_true")
         p.add_argument("--debug_nans", action="store_true")
         p.add_argument("--trace_dir", type=str, default=None)
         p.add_argument("--trace_epoch", type=int, default=1)
@@ -198,6 +217,8 @@ class Config:
         p.add_argument("--prng_impl", type=str, default="rbg",
                        choices=["rbg", "threefry2x32"])
         p.add_argument("--message_dtype", type=str, default="bfloat16",
+                       choices=["bfloat16", "float32"])
+        p.add_argument("--memory_dtype", type=str, default="float32",
                        choices=["bfloat16", "float32"])
         p.add_argument("--checkpoint_dir", type=str, default="saved_checkpoints")
         p.add_argument("--log_dir", type=str, default="log")

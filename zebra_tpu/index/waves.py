@@ -40,14 +40,16 @@ from zebra_tpu.index.streaming import (
 
 
 def wave_flat_index(
-    src, dst, neg, n_nodes: int, cap: int = 64, wave_bucket: int = 256
+    src, dst, neg, n_nodes: int, cap: int = 64, wave_bucket: int = 256,
+    n_shards: int = 1,
 ) -> Tuple[np.ndarray, int]:
     """Host scheduling: returns (flat slot per edge [E] i32, n_waves).
     ``n_waves`` rounds up to a multiple of ``wave_bucket`` so only a few
-    distinct shapes ever compile."""
+    distinct shapes ever compile. ``n_shards > 1`` selects owner-aligned
+    lane blocks (see zebra_tpu.native.ingest.wave_schedule)."""
     from zebra_tpu.native.ingest import wave_schedule
 
-    wave, slot, n_waves = wave_schedule(src, dst, neg, n_nodes, cap)
+    wave, slot, n_waves = wave_schedule(src, dst, neg, n_nodes, cap, n_shards)
     n_waves = max(wave_bucket, -(-n_waves // wave_bucket) * wave_bucket)
     flat = wave.astype(np.int32) * cap + slot
     return flat, int(n_waves)

@@ -240,3 +240,54 @@ extern "C" int64_t zt_wave_schedule(
   }
   return n_waves;
 }
+
+// Owner-aligned variant for sharded meshes: the cap lanes partition into
+// n_shards equal blocks and every edge lands in the lane block of its src
+// row's owner shard (contiguous row sharding over node id, owner(v) =
+// v / ceil(n_nodes / n_shards) — matching jax.sharding PartitionSpec('data')
+// on the [N, F] state). A per-shard wave executor (shard_map) then finds
+// each of its lane block's src rows locally; only dst/neg rows can cross
+// shards. Dependency rules are identical to zt_wave_schedule, so the result
+// stays bit-exact with the sequential scan; skew toward one shard inflates
+// the wave count instead of breaking alignment (block capacity is the
+// constraint). n_shards == 1 degenerates to the unaligned scheduler.
+extern "C" int64_t zt_wave_schedule_aligned(
+    const int32_t* src, const int32_t* dst, const int32_t* neg, int64_t n,
+    int64_t n_nodes, int32_t cap, int32_t n_shards, int32_t* wave_out,
+    int32_t* slot_out) {
+  if (n_shards <= 1)
+    return zt_wave_schedule(src, dst, neg, n, n_nodes, cap, wave_out,
+                            slot_out);
+  if (cap % n_shards != 0) return -2;  // blocks must tile the lanes
+  const int32_t block = cap / n_shards;
+  const int64_t rows_per_shard = (n_nodes + n_shards - 1) / n_shards;
+  std::vector<int32_t> last_write(static_cast<size_t>(n_nodes), -1);
+  std::vector<int32_t> last_read(static_cast<size_t>(n_nodes), 0);
+  std::vector<int32_t> count;  // per (wave, shard) occupancy, stride n_shards
+  count.reserve(1024);
+  int32_t n_waves = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (src[i] < 0 || src[i] >= n_nodes || dst[i] < 0 || dst[i] >= n_nodes ||
+        neg[i] < 0 || neg[i] >= n_nodes) {
+      return -1;
+    }
+    const int32_t owner = static_cast<int32_t>(src[i] / rows_per_shard);
+    int32_t w = 1 + std::max(
+        {last_write[src[i]], last_write[dst[i]], last_write[neg[i]]});
+    w = std::max({w, last_read[src[i]], last_read[dst[i]]});
+    while (static_cast<size_t>(w) * n_shards < count.size() &&
+           count[static_cast<size_t>(w) * n_shards + owner] >= block)
+      w++;
+    if (static_cast<size_t>(w + 1) * n_shards > count.size())
+      count.resize(static_cast<size_t>(w + 1) * n_shards, 0);
+    wave_out[i] = w;
+    slot_out[i] =
+        owner * block + count[static_cast<size_t>(w) * n_shards + owner]++;
+    last_write[src[i]] = w;
+    last_write[dst[i]] = w;
+    for (int32_t v : {src[i], dst[i], neg[i]})
+      if (w > last_read[v]) last_read[v] = w;
+    if (w + 1 > n_waves) n_waves = w + 1;
+  }
+  return n_waves;
+}

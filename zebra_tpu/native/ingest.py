@@ -144,34 +144,53 @@ def _load_events_python(path, fmt, sort_by_time, compact_ids) -> EventColumns:
     return EventColumns(u, i, ts, label, feat)
 
 
-def wave_schedule(src, dst, neg, n_nodes: int, cap: int):
+def wave_schedule(src, dst, neg, n_nodes: int, cap: int, n_shards: int = 1):
     """Greedy dependency-respecting wave assignment for the parallel SANTA
     scan (see ingest.cc zt_wave_schedule): returns (wave[i], slot[i],
     n_waves) with wave sizes ≤ cap; edges within a wave are pairwise
     node-disjoint and every cross-wave data dependency is respected, so the
-    wave-parallel scan is bit-exact with the sequential one."""
+    wave-parallel scan is bit-exact with the sequential one.
+
+    ``n_shards > 1`` selects the owner-aligned scheduler (ingest.cc
+    zt_wave_schedule_aligned): lanes partition into n_shards blocks and every
+    edge lands in the block of its src row's owner shard (contiguous row
+    sharding), so per-shard wave executors read their block's src rows
+    locally. Requires cap % n_shards == 0."""
     src = np.ascontiguousarray(src, np.int32)
     dst = np.ascontiguousarray(dst, np.int32)
     neg = np.ascontiguousarray(neg, np.int32)
     n = len(src)
     wave = np.empty(n, np.int32)
     slot = np.empty(n, np.int32)
+    if n_shards > 1 and cap % n_shards != 0:
+        raise ValueError(f"wave_cap {cap} must be a multiple of n_shards {n_shards}")
 
     lib = _get_lib()
     if lib is not None:
         if not hasattr(lib, "_wave_ready"):
+            i32p = ctypes.POINTER(ctypes.c_int32)
             lib.zt_wave_schedule.restype = ctypes.c_int64
             lib.zt_wave_schedule.argtypes = [
-                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
-                ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
-                ctypes.POINTER(ctypes.c_int32),
+                i32p, i32p, i32p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int32, i32p, i32p,
+            ]
+            lib.zt_wave_schedule_aligned.restype = ctypes.c_int64
+            lib.zt_wave_schedule_aligned.argtypes = [
+                i32p, i32p, i32p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_int32, i32p, i32p,
             ]
             lib._wave_ready = True
         ptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
-        n_waves = lib.zt_wave_schedule(
-            ptr(src), ptr(dst), ptr(neg), n, n_nodes, cap, ptr(wave), ptr(slot)
-        )
+        if n_shards > 1:
+            n_waves = lib.zt_wave_schedule_aligned(
+                ptr(src), ptr(dst), ptr(neg), n, n_nodes, cap, n_shards,
+                ptr(wave), ptr(slot),
+            )
+        else:
+            n_waves = lib.zt_wave_schedule(
+                ptr(src), ptr(dst), ptr(neg), n, n_nodes, cap,
+                ptr(wave), ptr(slot),
+            )
         if n_waves < 0:
             raise ValueError(
                 f"wave_schedule: node id out of range [0, {n_nodes})"
@@ -179,20 +198,23 @@ def wave_schedule(src, dst, neg, n_nodes: int, cap: int):
         return wave, slot, int(n_waves)
 
     # pure-python fallback (slow; tests only)
+    block = cap // n_shards if n_shards > 1 else cap
+    rows_per_shard = -(-n_nodes // n_shards) if n_shards > 1 else n_nodes
     last_write = np.full(n_nodes, -1, np.int64)
     last_read = np.zeros(n_nodes, np.int64)
-    counts: list = []
+    counts: list = []  # per wave: per-shard occupancy list
     n_waves = 0
     for i in range(n):
+        owner = int(src[i]) // rows_per_shard if n_shards > 1 else 0
         w = int(max(last_write[src[i]], last_write[dst[i]], last_write[neg[i]])) + 1
         w = max(w, int(last_read[src[i]]), int(last_read[dst[i]]))
-        while w < len(counts) and counts[w] >= cap:
+        while w < len(counts) and counts[w][owner] >= block:
             w += 1
-        if w >= len(counts):
-            counts.extend([0] * (w + 1 - len(counts)))
+        while w >= len(counts):
+            counts.append([0] * max(1, n_shards))
         wave[i] = w
-        slot[i] = counts[w]
-        counts[w] += 1
+        slot[i] = owner * block + counts[w][owner]
+        counts[w][owner] += 1
         last_write[src[i]] = w
         last_write[dst[i]] = w
         for v in (src[i], dst[i], neg[i]):

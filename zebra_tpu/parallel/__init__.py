@@ -1,3 +1,4 @@
+from zebra_tpu.parallel.distributed import initialize_distributed
 from zebra_tpu.parallel.mesh import make_mesh
 from zebra_tpu.parallel.sharding import (
     shard_batch,
@@ -8,6 +9,7 @@ from zebra_tpu.parallel.sharding import (
 )
 
 __all__ = [
+    "initialize_distributed",
     "make_mesh",
     "shard_batch",
     "shard_index_state",

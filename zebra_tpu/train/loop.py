@@ -203,7 +203,8 @@ class Trainer:
         self.params = init_tgn_params(init_rng, cfg)
         self.opt_state = make_optimizer(cfg).init(self.params)
         self.mem = init_memory(cfg.n_nodes, cfg.memory_dim, cfg.message_dim,
-                               jnp.dtype(cfg.message_dtype))
+                               jnp.dtype(cfg.message_dtype),
+                               jnp.dtype(cfg.memory_dtype))
         self.index_state = self._fresh_index()
         self._apply_shardings()
 
@@ -365,9 +366,13 @@ class Trainer:
                 hi = min(lo + chunk, total)
                 ti0 = time.time()
                 v = host["valid"][lo:hi]
+                n_shards = 1
+                if cfg.owner_aligned_waves and self._mesh is not None:
+                    n_shards = self._mesh.devices.size
                 flat_valid, n_waves = wave_flat_index(
                     host["src"][lo:hi][v], host["dst"][lo:hi][v],
                     host["neg"][lo:hi][v], cfg.n_nodes, cap=cfg.wave_cap,
+                    n_shards=n_shards,
                 )
                 flat = np.full(hi - lo, n_waves * cfg.wave_cap, np.int32)
                 flat[v] = flat_valid
@@ -628,7 +633,7 @@ def _gather_stream(full, pos, negs, valid) -> Stream:
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _fresh_epoch_state(cfg: Config):
     mem = init_memory(cfg.n_nodes, cfg.memory_dim, cfg.message_dim,
-                      jnp.dtype(cfg.message_dtype))
+                      jnp.dtype(cfg.message_dtype), jnp.dtype(cfg.memory_dtype))
     if cfg.embedding_module == "diffusion" and cfg.tppr_strategy == "streaming":
         index = init_tppr_state(cfg.n_tppr, cfg.n_nodes, cfg.topk)
     else:

@@ -162,6 +162,7 @@ def _commit_pending(cfg, params, mem: MemoryState, positives, valid2):
     rows = mem.memory[positives]
     flags = mem.msg_flag[positives] & valid2
     upd = cell_apply(cfg, params, message_input(cfg, params, mem, positives), rows)
+    upd = upd.astype(mem.memory.dtype)  # table may store bf16
     idx = jnp.where(valid2, positives, n)  # out-of-bounds → dropped
     new = mem._replace(
         memory=mem.memory.at[idx].set(
@@ -263,7 +264,7 @@ def flush_pending_messages(cfg: Config, params: TgnParams, mem: MemoryState) -> 
                      mem.memory)
     f = mem.msg_flag
     new = mem._replace(
-        memory=jnp.where(f[:, None], upd, mem.memory),
+        memory=jnp.where(f[:, None], upd.astype(mem.memory.dtype), mem.memory),
         last_update=jnp.where(f, mem.msg_ts, mem.last_update),
         msg_flag=jnp.zeros_like(f),
     )
