@@ -20,8 +20,9 @@ Usage::
         --workdir /tmp/zebra_parity [--ab] [--tol 0.02]
 
 ``--ab`` additionally sweeps zebra_tpu's numeric deviations
-(--message_dtype float32|bfloat16, --prng_impl rbg|threefry2x32) to validate
-the bfloat16/rbg defaults. Prints a comparison table and exits nonzero if
+(--message_dtype float32|bfloat16, --prng_impl rbg|threefry2x32,
+--memory_dtype bfloat16) to validate the bfloat16/rbg defaults and gate the
+bf16 memory-table option. Prints a comparison table and exits nonzero if
 |Δ test AP| exceeds --tol.
 
 Reference entry point: /root/reference/train.py:195-317 (run via PYTHONPATH
@@ -176,6 +177,8 @@ def main():
             args.workdir, name, hp, "f32", ("--message_dtype", "float32"))
         results["zebra(threefry)"] = run_zebra(
             args.workdir, name, hp, "threefry", ("--prng_impl", "threefry2x32"))
+        results["zebra(bf16 memory)"] = run_zebra(
+            args.workdir, name, hp, "bf16mem", ("--memory_dtype", "bfloat16"))
 
     ref = results["reference"]
     print(f"\n== parity @ n_events={args.n_events}, n_epoch={args.n_epoch}, "

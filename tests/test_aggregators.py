@@ -60,7 +60,10 @@ def test_mean_aggregator_accumulates():
     assert counts[1] == 2.0 and counts[5] == 1.0 and counts[2] == 1.0
     assert float(mem2.msg_ts[1]) == 2.0  # newest pending timestamp
 
-    # the cell input is the mean of the accumulated messages
-    got = np.asarray(message_input(cfg, params, mem2, jnp.asarray([1])))[0]
-    total = np.asarray(mem2.messages)[1]
+    # the cell input is the mean of the accumulated messages (the last
+    # message column is the pending-flag accumulator, not cell input)
+    raw, flag = message_input(cfg, params, mem2, jnp.asarray([1]))
+    got = np.asarray(raw)[0]
+    assert bool(flag[0])
+    total = np.asarray(mem2.messages)[1, :-1]
     np.testing.assert_allclose(got, total / 2.0, rtol=1e-6)

@@ -86,7 +86,7 @@ def test_store_messages_uses_embeddings(src_flag, dst_flag):
                 np.asarray(edge_feats[int(eidx[i])]),
                 np.asarray(time_encode(t[i] - mem.last_update[snd], basis)),
             ])
-            got = np.asarray(out.messages[snd])
+            got = np.asarray(out.messages[snd][:-1])  # last col = flag
             np.testing.assert_allclose(got, want, rtol=1e-6)
             assert bool(out.msg_flag[snd])
 
@@ -111,7 +111,7 @@ def test_train_end_to_end_with_embedding_messages():
         use_destination_embedding_in_message=True,
     )
     trainer = Trainer(cfg, splits, edge_feats)
-    assert trainer.mem.messages.shape[1] == trainer.cfg.message_dim
+    assert trainer.mem.messages.shape[1] == trainer.cfg.message_dim + 1
     r1 = trainer.train_epoch()
     r2 = trainer.train_epoch()
     assert np.isfinite(r1.loss) and np.isfinite(r2.loss)

@@ -37,6 +37,7 @@ from zebra_tpu.index.streaming import (
     _merge_both,
     _split_rows,
 )
+from zebra_tpu.utils.xla_options import env_compiler_options
 
 
 def wave_flat_index(
@@ -103,6 +104,7 @@ def _wave_step(state: TpprState, src, dst, neg, t, eidx, valid,
     jax.jit,
     static_argnames=("params", "n_waves", "cap", "use_pallas"),
     donate_argnames=("state",),
+    compiler_options=env_compiler_options(),
 )
 def wave_scan_chunk(
     state: TpprState,

@@ -50,8 +50,9 @@ def _lazy_rows(cfg: Config, params, mem, ids, train: bool, enable=None):
     if not train:
         return rows
     _, cell = CELLS[cfg.memory_updater]
-    upd = cell(params["cell"], message_input(cfg, params, mem, ids), rows)
-    gate = mem.msg_flag[ids] if enable is None else (mem.msg_flag[ids] & enable)
+    msg, flag = message_input(cfg, params, mem, ids)
+    upd = cell(params["cell"], msg, rows)
+    gate = flag if enable is None else (flag & enable)
     return jnp.where(gate[..., None], upd, rows)
 
 

@@ -1,19 +1,20 @@
-"""Functional TGN node-memory state.
+"""Functional node-memory state (reference modules/memory.py:7-60).
 
-The reference keeps mutable buffers on an nn.Module (modules/memory.py:7-60);
-here the memory is an immutable pytree threaded through jitted steps, so the
-reference's backup/restore dance (memory.py:49-53, train.py:252-269) becomes
-plain value retention and checkpointing is trivial.
+The reference keeps five per-node tensors plus a single pending raw message
+per node (last-message semantics baked in by overwrite,
+reference memory.py:19-30). Here the same state is one immutable pytree;
+"backup/restore" (reference memory.py:49-53) is value retention of the
+tuple, and all updates are functional scatters inside jit.
 
-Pending-message semantics by aggregator (reference message_aggregator.py —
-declared but with no call sites; 'last' is hard-baked by the overwrite in
-``store_raw_messages``, memory.py:27-30):
-
-- ``last``: the slot holds the most recent raw message directed at the node.
-- ``mean``: the slot accumulates the SUM of raw messages since the last
-  commit plus a count, and the updater consumes their mean — the upstream
-  TGN MeanMessageAggregator semantics, expressed without ragged per-node
-  lists."""
+Layout note: the pending-message *flag* is stored as the last column of the
+``messages`` table rather than as its own [N] array. The hot path gathers
+the 3b·M·k selected-neighbor message rows every batch; a separate skinny
+flag gather is a 1-D element gather (~6.6ns/row on TPU, and it appears
+twice — forward + backward remat) while the flag column rides the existing
+wide row gather for free. Flag semantics: nonzero ⇔ message pending (the
+mean aggregator accumulates 1.0 per message; values can only grow until the
+row is cleared, so nonzero-ness is preserved even under bf16 rounding).
+"""
 
 from __future__ import annotations
 
@@ -25,10 +26,16 @@ import jax.numpy as jnp
 class MemoryState(NamedTuple):
     memory: jnp.ndarray       # f32|bf16 [N, mem_dim]
     last_update: jnp.ndarray  # f32 [N]
-    messages: jnp.ndarray     # f32|bf16 [N, msg_dim] pending message (or sum)
+    messages: jnp.ndarray     # f32|bf16 [N, msg_dim+1] pending message (or
+                              #   sum); last column = pending flag (see above)
     msg_ts: jnp.ndarray       # f32 [N] latest pending-message timestamp
-    msg_flag: jnp.ndarray     # bool [N] message pending?
     msg_count: jnp.ndarray    # f32 [N] pending count (mean aggregator)
+
+    @property
+    def msg_flag(self) -> jnp.ndarray:
+        """Dense [N] bool pending mask (flush/test paths; hot paths slice
+        the flag column out of already-gathered message rows instead)."""
+        return self.messages[:, -1] != 0
 
 
 def init_memory(n_nodes: int, mem_dim: int, msg_dim: int,
@@ -43,8 +50,7 @@ def init_memory(n_nodes: int, mem_dim: int, msg_dim: int,
     return MemoryState(
         memory=jnp.zeros((n_nodes, mem_dim), mem_dtype),
         last_update=jnp.zeros((n_nodes,), jnp.float32),
-        messages=jnp.zeros((n_nodes, msg_dim), msg_dtype),
+        messages=jnp.zeros((n_nodes, msg_dim + 1), msg_dtype),
         msg_ts=jnp.zeros((n_nodes,), jnp.float32),
-        msg_flag=jnp.zeros((n_nodes,), bool),
         msg_count=jnp.zeros((n_nodes,), jnp.float32),
     )

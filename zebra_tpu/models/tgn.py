@@ -123,19 +123,24 @@ def cell_apply(cfg: Config, params: TgnParams, msgs, mem):
 
 
 def message_input(cfg: Config, params: TgnParams, mem_state, ids):
-    """The updater-cell input for the pending messages of ``ids``: the mean
-    over accumulated messages (aggregator='mean') or the stored last message,
-    passed through the MLP message function when configured (reference
-    modules/message_function.py, message_aggregator.py — both are declared
-    in the reference but have no runnable call sites)."""
-    raw = mem_state.messages[ids].astype(jnp.float32)
+    """The updater-cell input for the pending messages of ``ids``, plus the
+    pending flags, from ONE row gather (the flag lives in the last message
+    column — models/memory.py): returns (cell_input [..., msg_dim],
+    flag bool [...]). The input is the mean over accumulated messages
+    (aggregator='mean') or the stored last message, passed through the MLP
+    message function when configured (reference modules/message_function.py,
+    message_aggregator.py — both are declared in the reference but have no
+    runnable call sites)."""
+    rows = mem_state.messages[ids] if ids is not None else mem_state.messages
+    flag = rows[..., -1] != 0
+    raw = rows[..., :-1].astype(jnp.float32)
     if cfg.aggregator == "mean":
-        cnt = jnp.maximum(mem_state.msg_count[ids], 1.0)
-        raw = raw / cnt[..., None]
+        cnt = mem_state.msg_count[ids] if ids is not None else mem_state.msg_count
+        raw = raw / jnp.maximum(cnt, 1.0)[..., None]
     if cfg.message_function == "mlp":
         hidden = jax.nn.relu(_linear(params["msg_fc1"], raw))
         raw = _linear(params["msg_fc2"], hidden)
-    return raw
+    return raw, flag
 
 
 def diffusion_embed(

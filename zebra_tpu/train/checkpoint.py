@@ -21,7 +21,9 @@ import jax
 import numpy as np
 
 MAGIC = "zebra_tpu_checkpoint"
-VERSION = 2
+# v3: MemoryState lost its separate msg_flag array (the flag is the last
+# messages column, models/memory.py)
+VERSION = 3
 
 
 def save_checkpoint(path: str, tree: Any) -> None:
@@ -43,5 +45,11 @@ def load_checkpoint(path: str) -> Any:
         raise ValueError(
             f"checkpoint {path!r} has version {version}, newer than this "
             f"build's {VERSION} — refusing to guess at its layout"
+        )
+    if version < 3:
+        raise ValueError(
+            f"checkpoint {path!r} has version {version}: its MemoryState "
+            "layout (separate msg_flag array) predates v3 and cannot be "
+            "loaded by this build"
         )
     return payload["tree"]

@@ -87,8 +87,9 @@ def _lazy_rows(cfg: Config, params: TgnParams, mem: MemoryState, ids, enable):
     rows = mem.memory[ids]
     if enable is None:
         return rows
-    upd = cell_apply(cfg, params, message_input(cfg, params, mem, ids), rows)
-    return jnp.where((mem.msg_flag[ids] & enable)[..., None], upd, rows)
+    msg, flag = message_input(cfg, params, mem, ids)
+    upd = cell_apply(cfg, params, msg, rows)
+    return jnp.where((flag & enable)[..., None], upd, rows)
 
 
 def _forward(
@@ -109,10 +110,15 @@ def _forward(
     if em == "diffusion":
         if train:
             # membership of a query node in the selected-neighbor set gates
-            # its lazy update (reference embedding_module.py:228-230)
-            n_nodes = mem.memory.shape[0]
-            sel = jnp.zeros((n_nodes,), bool).at[q.nbr.reshape(-1)].set(True)
-            src_rows = _lazy_rows(cfg, params, mem, nodes3, sel[nodes3])
+            # its lazy update (reference embedding_module.py:228-230).
+            # Sort + searchsorted over the 3b·M·k selected ids: a [N] bool
+            # scatter + gather here costs ~0.4ms/batch inside the fused scan
+            # (bitpacked pred scatters serialize); the sort-based membership
+            # test touches no node-sized table.
+            flat = jnp.sort(q.nbr.reshape(-1))
+            j = jnp.searchsorted(flat, nodes3)
+            in_sel = flat[jnp.minimum(j, flat.shape[0] - 1)] == nodes3
+            src_rows = _lazy_rows(cfg, params, mem, nodes3, in_sel)
             nbr_rows = _lazy_rows(cfg, params, mem, q.nbr,
                                   jnp.ones_like(q.w, bool))
         else:
@@ -160,11 +166,15 @@ def _commit_pending(cfg, params, mem: MemoryState, positives, valid2):
     scatter identical values, so ordering is immaterial."""
     n = mem.memory.shape[0]
     rows = mem.memory[positives]
-    flags = mem.msg_flag[positives] & valid2
-    upd = cell_apply(cfg, params, message_input(cfg, params, mem, positives), rows)
+    msg, flag = message_input(cfg, params, mem, positives)
+    flags = flag & valid2
+    upd = cell_apply(cfg, params, msg, rows)
     upd = upd.astype(mem.memory.dtype)  # table may store bf16
     idx = jnp.where(valid2, positives, n)  # out-of-bounds → dropped
-    new = mem._replace(
+    # clearing the flag zeroes the whole message row: content is dead while
+    # the flag is 0 (every consumer gates on it), and the next store
+    # overwrites the row (last) / restarts the accumulator (mean)
+    return mem._replace(
         memory=mem.memory.at[idx].set(
             jnp.where(flags[:, None], upd, rows), mode="drop"
         ),
@@ -172,15 +182,9 @@ def _commit_pending(cfg, params, mem: MemoryState, positives, valid2):
             jnp.where(flags, mem.msg_ts[positives], mem.last_update[positives]),
             mode="drop",
         ),
-        msg_flag=mem.msg_flag.at[idx].set(False, mode="drop"),
+        messages=mem.messages.at[idx].set(0.0, mode="drop"),
+        msg_count=mem.msg_count.at[idx].set(0.0, mode="drop"),
     )
-    if cfg.aggregator == "mean":
-        # the consumed accumulator must restart from zero
-        new = new._replace(
-            messages=new.messages.at[idx].set(0.0, mode="drop"),
-            msg_count=new.msg_count.at[idx].set(0.0, mode="drop"),
-        )
-    return new
 
 
 def _store_messages(cfg, params, mem: MemoryState, edge_feats, src, dst, t, eidx, valid,
@@ -229,10 +233,14 @@ def _store_messages(cfg, params, mem: MemoryState, edge_feats, src, dst, t, eidx
         ],
         axis=-1,
     )
-    msg = msg.astype(mem.messages.dtype)
+    # append the pending-flag column (models/memory.py layout): 1.0 per
+    # stored/accumulated message
+    one = jnp.ones((msg.shape[0], 1), msg.dtype)
+    msg = jnp.concatenate([msg, one], axis=-1).astype(mem.messages.dtype)
     if cfg.aggregator == "mean":
         # accumulate every message (duplicates sum via scatter-add); msg_ts
-        # tracks the newest pending timestamp
+        # tracks the newest pending timestamp; the flag column accumulates
+        # 1.0 per message and stays nonzero until the row is cleared
         idx_all = jnp.where(valid2, snd, n)
         return mem._replace(
             messages=mem.messages.at[idx_all].add(
@@ -243,13 +251,11 @@ def _store_messages(cfg, params, mem: MemoryState, edge_feats, src, dst, t, eidx
                 valid2.astype(jnp.float32), mode="drop"
             ),
             msg_ts=mem.msg_ts.at[idx_all].max(t2, mode="drop"),
-            msg_flag=mem.msg_flag.at[idx_all].set(True, mode="drop"),
         )
     idx = jnp.where(keep, snd, n)
     return mem._replace(
         messages=mem.messages.at[idx].set(msg, mode="drop"),
         msg_ts=mem.msg_ts.at[idx].set(t2, mode="drop"),
-        msg_flag=mem.msg_flag.at[idx].set(True, mode="drop"),
         msg_count=mem.msg_count.at[idx].set(1.0, mode="drop"),
     )
 
@@ -259,18 +265,11 @@ def flush_pending_messages(cfg: Config, params: TgnParams, mem: MemoryState) -> 
     """One-time train→eval flush of ALL pending messages (reference
     update_memory_in_test, memory_updater.py:46-57). Dense over N rows —
     runs a handful of times per epoch."""
-    all_ids = jnp.arange(mem.memory.shape[0])
-    upd = cell_apply(cfg, params, message_input(cfg, params, mem, all_ids),
-                     mem.memory)
-    f = mem.msg_flag
-    new = mem._replace(
+    msg, f = message_input(cfg, params, mem, None)  # dense, no gather
+    upd = cell_apply(cfg, params, msg, mem.memory)
+    return mem._replace(
         memory=jnp.where(f[:, None], upd.astype(mem.memory.dtype), mem.memory),
         last_update=jnp.where(f, mem.msg_ts, mem.last_update),
-        msg_flag=jnp.zeros_like(f),
+        messages=jnp.zeros_like(mem.messages),
+        msg_count=jnp.zeros_like(mem.msg_count),
     )
-    if cfg.aggregator == "mean":
-        new = new._replace(
-            messages=jnp.where(f[:, None], 0.0, new.messages),
-            msg_count=jnp.where(f, 0.0, new.msg_count),
-        )
-    return new
