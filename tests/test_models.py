@@ -81,15 +81,20 @@ def test_diffusion_embed_shapes_and_weighting():
     edge_feat = jnp.asarray(rs.randn(m, q, k, cfg.edge_dim), jnp.float32)
     dt = jnp.asarray(rs.rand(m, q, k), jnp.float32)
     w = jnp.asarray(rs.rand(m, q, k), jnp.float32)
+    from zebra_tpu.models.time_encoding import time_basis, time_encode
 
-    emb = diffusion_embed(cfg, params, src_mem, nbr_mem, edge_feat, dt, w,
+    static = jnp.concatenate(
+        [edge_feat, time_encode(dt, time_basis(cfg.time_dim))], axis=-1
+    )
+
+    emb = diffusion_embed(cfg, params, src_mem, nbr_mem, static, w,
                           None, train=False)
     assert emb.shape == (q, d * (m + 1))
 
     # empty queries (all weights 0) contribute exactly zero neighbor parts —
     # the reference's zero-sum guard (embedding_module.py:271)
     emb0 = diffusion_embed(
-        cfg, params, src_mem, nbr_mem, edge_feat, dt, jnp.zeros_like(w),
+        cfg, params, src_mem, nbr_mem, static, jnp.zeros_like(w),
         None, train=False,
     )
     np.testing.assert_allclose(np.asarray(emb0[:, d:]), 0.0, atol=1e-6)
@@ -99,7 +104,7 @@ def test_diffusion_embed_shapes_and_weighting():
     )
 
     # weight normalization: scaling all weights by a constant changes nothing
-    emb2 = diffusion_embed(cfg, params, src_mem, nbr_mem, edge_feat, dt, 7.5 * w,
+    emb2 = diffusion_embed(cfg, params, src_mem, nbr_mem, static, 7.5 * w,
                            None, train=False)
     np.testing.assert_allclose(np.asarray(emb2), np.asarray(emb), rtol=1e-4)
 

@@ -143,20 +143,28 @@ def message_input(cfg: Config, params: TgnParams, mem_state, ids):
     return raw, flag
 
 
+def diffusion_static_input(cfg: Config, edge_feats, eidx, dt) -> jnp.ndarray:
+    """The parameter-independent part of the neighbor-tower input:
+    ``[edge_feat; time_enc(Δt)]`` → [M, Q, k, De+Dt]. Built OUTSIDE the
+    differentiated step (train/phase.py) so the backward pass reuses it as a
+    primal input instead of rematerializing the edge gather + cosine chain —
+    each otherwise appears twice per batch in the device profile."""
+    basis = time_basis(cfg.time_dim)
+    return jnp.concatenate([edge_feats[eidx], time_encode(dt, basis)], axis=-1)
+
+
 def diffusion_embed(
     cfg: Config,
     params: TgnParams,
     src_mem: jnp.ndarray,     # f32 [Q, d]      query nodes' (lazily updated) memory
     nbr_mem: jnp.ndarray,     # f32 [M, Q, k, d] selected neighbors' memory
-    edge_feat: jnp.ndarray,   # f32 [M, Q, k, De]
-    dt: jnp.ndarray,          # f32 [M, Q, k]
+    nbr_static: jnp.ndarray,  # f32 [M, Q, k, De+Dt] diffusion_static_input(...)
     w: jnp.ndarray,           # f32 [M, Q, k]   T-PPR weights (0 = empty slot)
     dropout_rng,
     train: bool,
 ) -> jnp.ndarray:
     """Ensemble diffusion embedding → [Q, d·(M+1)]
     (reference compute_embedding_tppr_ensemble, embedding_module.py:242-278)."""
-    basis = time_basis(cfg.time_dim)
     k_src, k_nbr = (
         jax.random.split(dropout_rng) if dropout_rng is not None else (None, None)
     )
@@ -164,8 +172,7 @@ def diffusion_embed(
     src_emb = _mlp2(params["fc1_src"], params["fc2_src"], src_mem, k_src,
                     cfg.dropout, train)
 
-    te = time_encode(dt, basis)                              # [M, Q, k, Dt]
-    nbr_in = jnp.concatenate([nbr_mem, edge_feat, te], axis=-1)
+    nbr_in = jnp.concatenate([nbr_mem, nbr_static], axis=-1)
     nbr_emb = _mlp2(params["fc1"], params["fc2"], nbr_in, k_nbr,
                     cfg.dropout, train)                      # [M, Q, k, d]
 

@@ -48,6 +48,7 @@ from zebra_tpu.models.tgn import (
     affinity_score,
     cell_apply,
     diffusion_embed,
+    diffusion_static_input,
     message_input,
 )
 from zebra_tpu.models.time_encoding import time_basis, time_encode
@@ -103,6 +104,8 @@ def _forward(
     nbr_index,                   # NeighborIndex (recursive towers) or ()
     dropout_rng,
     train: bool,
+    nbr_static=None,             # precomputed diffusion_static_input (train
+                                 # phase passes it from outside the grad)
 ) -> jnp.ndarray:
     """Embeddings for the 3b query rows → [3b, H]; dispatches on
     cfg.embedding_module (see zebra_tpu.models.embedding)."""
@@ -124,8 +127,10 @@ def _forward(
         else:
             src_rows = mem.memory[nodes3]
             nbr_rows = mem.memory[q.nbr]
+        if nbr_static is None:
+            nbr_static = diffusion_static_input(cfg, edge_feats, q.eidx, q.dt)
         return diffusion_embed(
-            cfg, params, src_rows, nbr_rows, edge_feats[q.eidx], q.dt, q.w,
+            cfg, params, src_rows, nbr_rows, nbr_static, q.w,
             dropout_rng, train,
         )
 
