@@ -30,6 +30,18 @@ class RandEdgeSampler:
             dst_index = self.random_state.randint(0, len(self.dst_list), size)
         return self.src_list[src_index], self.dst_list[dst_index]
 
+    def sample_with(self, rs: np.random.RandomState,
+                    size: int) -> Tuple[np.ndarray, np.ndarray]:
+        """One (src, dst) draw from an explicit RandomState. Used for
+        per-epoch training negatives derived from (base, epoch): the same
+        uniform protocol as the reference's shared unseeded sampler
+        (reference train.py:203), but any epoch's draw can be regenerated
+        independently — which makes next-epoch prefetch and mid-epoch resume
+        exact."""
+        src_index = rs.randint(0, len(self.src_list), size)
+        dst_index = rs.randint(0, len(self.dst_list), size)
+        return self.src_list[src_index], self.dst_list[dst_index]
+
     def reset_random_state(self):
         assert self.seed is not None
         self.random_state = np.random.RandomState(self.seed)

@@ -218,6 +218,16 @@ class Trainer:
         self._epoch_negs: Optional[np.ndarray] = None
         self._epoch_rng = None
         self._chunk_cursor = 0
+        # per-epoch train negatives derive from (base, epoch) so epoch e+1's
+        # draw + wave schedule + H2D upload can happen while the device still
+        # runs epoch e (the tunnel's H2D is the dominant host-side cost);
+        # base is deterministic under --seed, random under --enable_random
+        self._neg_base = int(np.random.randint(0, 2**31 - 1))
+        self._epoch_id = 0
+        self._train_prefetch = None
+        # eval negatives are fixed per phase, so their wave schedules (and
+        # the uploaded flat slot vectors) are computed once and reused
+        self._eval_scheds: Dict[str, list] = {}
 
     # ---------------------------------------------------------------- helpers
 
@@ -298,6 +308,59 @@ class Trainer:
         }
         return PhaseStream(stream, n_batches, real_batches, n_chunks), host
 
+    def _draw_train_negs(self, epoch_id: int) -> np.ndarray:
+        """This epoch's training negatives, padded to the stream length
+        (fresh per epoch — reference train.py:203)."""
+        n = self.splits.train.n_interactions
+        rs = np.random.RandomState(
+            (self._neg_base + 0x9E3779B1 * (epoch_id + 1)) % (2**32)
+        )
+        _, negs = self.train_sampler.sample_with(rs, n)
+        pad = self._streams["train"].stream.src.shape[0] - n
+        if pad:
+            negs = np.concatenate([negs, np.zeros(pad, negs.dtype)])
+        return negs.astype(np.int32)
+
+    def _wave_scheds(self, stream_name: str, negs: np.ndarray) -> list:
+        """Wave schedules for every superchunk of a stream under the given
+        negatives: [(flat slot vector on device, n_waves)] (C++ scheduler +
+        H2D upload)."""
+        cfg = self.cfg
+        stream, _, _, n_chunks = self._streams[stream_name]
+        host = self._host_streams[stream_name]
+        total = stream.src.shape[0]
+        chunk = total // n_chunks
+        n_shards = 1
+        if cfg.owner_aligned_waves and self._mesh is not None:
+            n_shards = self._mesh.devices.size
+        scheds = []
+        for lo in range(0, total, chunk):
+            hi = lo + chunk
+            v = host["valid"][lo:hi]
+            flat_valid, n_waves = wave_flat_index(
+                host["src"][lo:hi][v], host["dst"][lo:hi][v], negs[lo:hi][v],
+                cfg.n_nodes, cap=cfg.wave_cap, n_shards=n_shards,
+            )
+            flat = np.full(hi - lo, n_waves * cfg.wave_cap, np.int32)
+            flat[v] = flat_valid
+            scheds.append((jnp.asarray(flat), n_waves))
+        return scheds
+
+    def _prepare_train_epoch(self, epoch_id: int):
+        """Draw epoch ``epoch_id``'s negatives, schedule its waves, and start
+        the device uploads. Called for epoch e+1 right after epoch e's chunks
+        are dispatched (before their metric sync), so the host scheduling and
+        the H2D transfers — ~25% of epoch wall time on tunneled deployments —
+        hide under the device compute of the running epoch."""
+        negs = self._draw_train_negs(epoch_id)
+        negs_dev = jnp.asarray(negs)
+        use_waves = (
+            self.cfg.embedding_module == "diffusion"
+            and self.cfg.tppr_strategy == "streaming"
+        )
+        scheds = self._wave_scheds("train", negs) if use_waves else None
+        return (epoch_id, negs, negs_dev, scheds)
+
     def _phase(
         self,
         stream_name: str,
@@ -318,30 +381,52 @@ class Trainer:
         cfg = self.cfg
         stream, n_batches, real_batches, n_chunks = self._streams[stream_name]
         host = self._host_streams[stream_name]
-        if train:
-            if start_chunk == 0 or self._epoch_negs is None:
-                # fresh negatives each training epoch (reference train.py:203)
-                n = self.splits.train.n_interactions
-                _, negs = self.train_sampler.sample(n)
-                pad = stream.src.shape[0] - n
-                negs = np.concatenate(
-                    [negs, np.zeros(pad, negs.dtype)]
-                ).astype(np.int32)
-                self._epoch_negs = negs
-            negs = self._epoch_negs
-            stream = stream._replace(neg=jnp.asarray(negs))
-            host = dict(host, neg=negs)
-
         use_waves = (
             cfg.embedding_module == "diffusion"
             and cfg.tppr_strategy == "streaming"
         )
+        t_index = 0.0
+        scheds = None
+        if train:
+            ti0 = time.time()
+            if start_chunk > 0 and self._epoch_negs is not None:
+                # mid-epoch resume: reuse the checkpointed draw
+                negs, negs_dev = self._epoch_negs, None
+            elif (self._train_prefetch is not None
+                  and self._train_prefetch[0] == self._epoch_id):
+                _, negs, negs_dev, scheds = self._train_prefetch
+            else:
+                _, negs, negs_dev, scheds = self._prepare_train_epoch(
+                    self._epoch_id
+                )
+            self._train_prefetch = None
+            self._epoch_negs = negs
+            if negs_dev is None:
+                negs_dev = jnp.asarray(negs)
+            t_index += time.time() - ti0
+            stream = stream._replace(neg=negs_dev)
+            host = dict(host, neg=negs)
+        elif use_waves:
+            scheds = self._eval_scheds.get(stream_name)
+
+        if use_waves and scheds is None:
+            ti0 = time.time()
+            scheds = self._wave_scheds(stream_name, host["neg"])
+            if not train:
+                self._eval_scheds[stream_name] = scheds
+            t_index += time.time() - ti0
+
         if not use_waves:
             self.params, self.opt_state, self.mem, index_state, metrics = run_phase(
                 cfg, train, n_batches,
                 self.params, self.opt_state, self.mem, index_state,
                 rng, self.edge_feats, nbr_index, stream,
             )
+            if train:
+                self._chunk_cursor = n_chunks  # phase runs whole epochs
+                self._train_prefetch = self._prepare_train_epoch(
+                    self._epoch_id + 1
+                )
             ms = jax.tree.map(np.asarray, metrics)  # syncs the phase
         else:
             # wave-parallel pipeline: per superchunk, schedule on host
@@ -357,7 +442,6 @@ class Trainer:
                 f"(chunk={chunk}, bs={cfg.bs}, n_chunks={n_chunks})"
             )
             all_metrics = []
-            t_index = 0.0
             for ci, lo in enumerate(range(0, total, chunk)):
                 if ci < start_chunk:
                     continue  # mid-epoch resume: state covers these already
@@ -365,24 +449,13 @@ class Trainer:
                     break
                 hi = min(lo + chunk, total)
                 ti0 = time.time()
-                v = host["valid"][lo:hi]
-                n_shards = 1
-                if cfg.owner_aligned_waves and self._mesh is not None:
-                    n_shards = self._mesh.devices.size
-                flat_valid, n_waves = wave_flat_index(
-                    host["src"][lo:hi][v], host["dst"][lo:hi][v],
-                    host["neg"][lo:hi][v], cfg.n_nodes, cap=cfg.wave_cap,
-                    n_shards=n_shards,
-                )
-                flat = np.full(hi - lo, n_waves * cfg.wave_cap, np.int32)
-                flat[v] = flat_valid
-
+                flat_dev, n_waves = scheds[ci]
                 chunk_stream = jax.tree.map(lambda x: x[lo:hi], stream)
                 index_state, queries = wave_scan_chunk(
                     index_state, self._tppr_params,
                     chunk_stream.src, chunk_stream.dst, chunk_stream.neg,
                     chunk_stream.t, chunk_stream.eidx, chunk_stream.valid,
-                    jnp.asarray(flat), n_waves, cfg.wave_cap,
+                    flat_dev, n_waves, cfg.wave_cap,
                     self._use_pallas,
                 )
                 if cfg.profile:
@@ -397,6 +470,12 @@ class Trainer:
                 )
                 all_metrics.append(metrics)
                 self._chunk_cursor = ci + 1
+            if train and self._chunk_cursor >= n_chunks:
+                # epoch fully dispatched: prep the NEXT epoch while the
+                # device drains this one (the metric sync below waits on it)
+                self._train_prefetch = self._prepare_train_epoch(
+                    self._epoch_id + 1
+                )
             ms = jax.tree.map(
                 lambda *xs: np.concatenate([np.asarray(x) for x in xs]),
                 *all_metrics,
@@ -449,6 +528,7 @@ class Trainer:
             # epoch complete: the cursor and its epoch-scoped state expire
             self._chunk_cursor = 0
             self._epoch_negs = None
+            self._epoch_id += 1
         return result
 
     def validate(self) -> Tuple[PhaseResult, PhaseResult]:
@@ -523,6 +603,8 @@ class Trainer:
             "chunk": chunk,
             "epoch_negs": self._epoch_negs if chunk else None,
             "epoch_rng": self._epoch_rng if chunk else None,
+            "epoch_id": self._epoch_id,
+            "neg_base": self._neg_base,
         })
 
     def restore_state(self, path: str) -> Tuple[int, int]:
@@ -545,6 +627,10 @@ class Trainer:
             self._epoch_negs = np.asarray(ckpt["epoch_negs"])
         if ckpt.get("epoch_rng") is not None:
             self._epoch_rng = jnp.asarray(ckpt["epoch_rng"])
+        self._epoch_id = int(ckpt.get("epoch_id", 0))
+        if ckpt.get("neg_base") is not None:
+            self._neg_base = int(ckpt["neg_base"])
+        self._train_prefetch = None  # keyed to the pre-restore epoch stream
         return int(ckpt["epoch"]), chunk
 
     # ---------------------------------------------------------------- run
