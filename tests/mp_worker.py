@@ -81,7 +81,7 @@ def build_inputs():
     to_np = lambda t: jax.tree.map(np.asarray, t)
     params = to_np(init_tgn_params(jax.random.PRNGKey(0), cfg))
     opt_state = to_np(make_optimizer(cfg).init(params))
-    mem = to_np(init_memory(cfg.n_nodes, cfg.memory_dim, cfg.message_dim,
+    mem = to_np(init_memory(cfg.n_nodes, cfg.memory_dim, cfg.msg_table_dim,
                             np.float32))
     index = to_np(init_tppr_state(cfg.n_tppr, cfg.n_nodes, cfg.topk))
     return cfg, n_batches, params, opt_state, mem, index, stream_np, \

@@ -43,7 +43,7 @@ def test_mean_aggregator_accumulates():
         alpha_list=(0.1,), beta_list=(0.9,),
     ).replace(n_nodes=16, n_edges=32, edge_dim=2)
     params = init_tgn_params(jax.random.PRNGKey(0), cfg)
-    mem = init_memory(cfg.n_nodes, cfg.memory_dim, cfg.message_dim)
+    mem = init_memory(cfg.n_nodes, cfg.memory_dim, cfg.msg_table_dim)
     edge_feats = jnp.asarray(
         np.random.RandomState(0).randn(cfg.n_edges, 2), jnp.float32
     )
@@ -61,9 +61,12 @@ def test_mean_aggregator_accumulates():
     assert float(mem2.msg_ts[1]) == 2.0  # newest pending timestamp
 
     # the cell input is the mean of the accumulated messages (the last
-    # message column is the pending-flag accumulator, not cell input)
+    # message column is the pending-flag accumulator, not cell input); under
+    # the compact layout the sender-memory prefix is re-attached unaveraged
     raw, flag = message_input(cfg, params, mem2, jnp.asarray([1]))
     got = np.asarray(raw)[0]
     assert bool(flag[0])
     total = np.asarray(mem2.messages)[1, :-1]
-    np.testing.assert_allclose(got, total / 2.0, rtol=1e-6)
+    d = cfg.memory_dim
+    np.testing.assert_allclose(got[:d], np.asarray(mem2.memory)[1], rtol=1e-6)
+    np.testing.assert_allclose(got[d:], total / 2.0, rtol=1e-6)

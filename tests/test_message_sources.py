@@ -51,7 +51,8 @@ def test_store_messages_uses_embeddings(src_flag, dst_flag):
                use_destination_embedding_in_message=dst_flag,
                message_dtype="float32")
     params = init_tgn_params(jax.random.PRNGKey(0), cfg)
-    mem = init_memory(cfg.n_nodes, cfg.memory_dim, cfg.message_dim, jnp.float32)
+    mem = init_memory(cfg.n_nodes, cfg.memory_dim, cfg.msg_table_dim,
+                      jnp.float32)
     rng = np.random.RandomState(0)
     mem = mem._replace(
         memory=jnp.asarray(rng.randn(cfg.n_nodes, cfg.memory_dim), jnp.float32)
@@ -81,8 +82,12 @@ def test_store_messages_uses_embeddings(src_flag, dst_flag):
              dst_emb[i] if src_flag else memory[int(dst[i])],
              src_emb[i] if dst_flag else memory[int(src[i])]),
         ):
-            want = np.concatenate([
-                np.asarray(s_part), np.asarray(r_part),
+            # the sender part is stored only when it is an embedding
+            # (compact layout otherwise re-attaches the memory row at
+            # consumption — Config.compact_messages)
+            head = [np.asarray(s_part)] if src_flag else []
+            want = np.concatenate(head + [
+                np.asarray(r_part),
                 np.asarray(edge_feats[int(eidx[i])]),
                 np.asarray(time_encode(t[i] - mem.last_update[snd], basis)),
             ])

@@ -147,6 +147,30 @@ class Config:
         return src_part + dst_part + self.edge_dim + self.time_dim
 
     @property
+    def compact_messages(self) -> bool:
+        """Whether pending-message rows drop the sender-memory part
+        (models/memory.py): a node's memory cannot change between a store and
+        its commit (commits precede stores for a node, and only commits write
+        memory), so every consumer already holds the sender part — it is the
+        updater cell's own hidden-state gather — and ``message_input``
+        re-attaches it for free. Cuts the scan-carried message table and its
+        hot-path row gathers from ``message_dim+1`` to
+        ``message_dim−memory_dim+1`` columns (473 → 373 at reference dims).
+        Invalid only with use_source_embedding_in_message, whose sender part
+        is the batch embedding, not the memory row. (Reconstructing the edge
+        features / time encoding from stored scalars was measured too: three
+        skinny [N]-gathers plus a cosine per consumption — twice, forward +
+        backward — cost far more than the 272 columns saved.)"""
+        return not self.use_source_embedding_in_message
+
+    @property
+    def msg_table_dim(self) -> int:
+        """Stored width of a pending-message row, excluding the flag column."""
+        if self.compact_messages:
+            return self.message_dim - self.memory_dim
+        return self.message_dim
+
+    @property
     def cell_input_dim(self) -> int:
         """Updater-cell input width: the raw message, or the MLP message
         function's output (identity is the reference default; its 'mlp'

@@ -26,8 +26,15 @@ import jax.numpy as jnp
 class MemoryState(NamedTuple):
     memory: jnp.ndarray       # f32|bf16 [N, mem_dim]
     last_update: jnp.ndarray  # f32 [N]
-    messages: jnp.ndarray     # f32|bf16 [N, msg_dim+1] pending message (or
-                              #   sum); last column = pending flag (see above)
+    messages: jnp.ndarray     # f32|bf16 [N, W+1] pending message row (or its
+                              #   accumulating sum, aggregator='mean'); last
+                              #   column = pending flag (see above). W is
+                              #   Config.msg_table_dim: under the default
+                              #   compact layout (Config.compact_messages) the
+                              #   sender-memory part is NOT stored — consumers
+                              #   hold it already (it is the updater cell's
+                              #   hidden-state gather) and message_input
+                              #   re-attaches it
     msg_ts: jnp.ndarray       # f32 [N] latest pending-message timestamp
     msg_count: jnp.ndarray    # f32 [N] pending count (mean aggregator)
 

@@ -122,21 +122,34 @@ def cell_apply(cfg: Config, params: TgnParams, msgs, mem):
     return apply(params["cell"], msgs, mem)
 
 
-def message_input(cfg: Config, params: TgnParams, mem_state, ids):
+def message_input(cfg: Config, params: TgnParams, mem_state, ids,
+                  self_rows=None):
     """The updater-cell input for the pending messages of ``ids``, plus the
     pending flags, from ONE row gather (the flag lives in the last message
     column — models/memory.py): returns (cell_input [..., msg_dim],
-    flag bool [...]). The input is the mean over accumulated messages
-    (aggregator='mean') or the stored last message, passed through the MLP
+    flag bool [...]). The input is the stored last message, or the mean over
+    accumulated messages (aggregator='mean'); either passes through the MLP
     message function when configured (reference modules/message_function.py,
     message_aggregator.py — both are declared in the reference but have no
-    runnable call sites)."""
-    rows = mem_state.messages[ids] if ids is not None else mem_state.messages
+    runnable call sites).
+
+    Under the compact layout (Config.compact_messages) the stored row omits
+    the sender-memory part and it is re-attached here from ``self_rows`` —
+    exact because a node's memory cannot change between a store and its
+    commit. ``self_rows`` defaults to gathering ``memory[ids]``, but every
+    hot caller already holds that gather (it is the updater cell's hidden
+    state)."""
+    g = lambda a: a[ids] if ids is not None else a
+    rows = g(mem_state.messages)
     flag = rows[..., -1] != 0
     raw = rows[..., :-1].astype(jnp.float32)
     if cfg.aggregator == "mean":
-        cnt = mem_state.msg_count[ids] if ids is not None else mem_state.msg_count
+        cnt = g(mem_state.msg_count)
         raw = raw / jnp.maximum(cnt, 1.0)[..., None]
+    if cfg.compact_messages:
+        if self_rows is None:
+            self_rows = g(mem_state.memory)
+        raw = jnp.concatenate([self_rows.astype(jnp.float32), raw], axis=-1)
     if cfg.message_function == "mlp":
         hidden = jax.nn.relu(_linear(params["msg_fc1"], raw))
         raw = _linear(params["msg_fc2"], hidden)

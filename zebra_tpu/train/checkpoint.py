@@ -23,7 +23,9 @@ import numpy as np
 MAGIC = "zebra_tpu_checkpoint"
 # v3: MemoryState lost its separate msg_flag array (the flag is the last
 # messages column, models/memory.py)
-VERSION = 3
+# v4: under the default compact layout the messages table no longer stores
+# the sender-memory part (Config.compact_messages)
+VERSION = 4
 
 
 def save_checkpoint(path: str, tree: Any) -> None:
@@ -46,10 +48,10 @@ def load_checkpoint(path: str) -> Any:
             f"checkpoint {path!r} has version {version}, newer than this "
             f"build's {VERSION} — refusing to guess at its layout"
         )
-    if version < 3:
+    if version < 4:
         raise ValueError(
             f"checkpoint {path!r} has version {version}: its MemoryState "
-            "layout (separate msg_flag array) predates v3 and cannot be "
+            "layout predates v4 (compact message rows) and cannot be "
             "loaded by this build"
         )
     return payload["tree"]

@@ -202,7 +202,7 @@ class Trainer:
         self.rng, init_rng = jax.random.split(self.rng)
         self.params = init_tgn_params(init_rng, cfg)
         self.opt_state = make_optimizer(cfg).init(self.params)
-        self.mem = init_memory(cfg.n_nodes, cfg.memory_dim, cfg.message_dim,
+        self.mem = init_memory(cfg.n_nodes, cfg.memory_dim, cfg.msg_table_dim,
                                jnp.dtype(cfg.message_dtype),
                                jnp.dtype(cfg.memory_dtype))
         self.index_state = self._fresh_index()
@@ -718,7 +718,7 @@ def _gather_stream(full, pos, negs, valid) -> Stream:
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _fresh_epoch_state(cfg: Config):
-    mem = init_memory(cfg.n_nodes, cfg.memory_dim, cfg.message_dim,
+    mem = init_memory(cfg.n_nodes, cfg.memory_dim, cfg.msg_table_dim,
                       jnp.dtype(cfg.message_dtype), jnp.dtype(cfg.memory_dtype))
     if cfg.embedding_module == "diffusion" and cfg.tppr_strategy == "streaming":
         index = init_tppr_state(cfg.n_tppr, cfg.n_nodes, cfg.topk)

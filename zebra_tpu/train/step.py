@@ -88,7 +88,7 @@ def _lazy_rows(cfg: Config, params: TgnParams, mem: MemoryState, ids, enable):
     rows = mem.memory[ids]
     if enable is None:
         return rows
-    msg, flag = message_input(cfg, params, mem, ids)
+    msg, flag = message_input(cfg, params, mem, ids, rows)
     upd = cell_apply(cfg, params, msg, rows)
     return jnp.where((flag & enable)[..., None], upd, rows)
 
@@ -171,7 +171,7 @@ def _commit_pending(cfg, params, mem: MemoryState, positives, valid2):
     scatter identical values, so ordering is immaterial."""
     n = mem.memory.shape[0]
     rows = mem.memory[positives]
-    msg, flag = message_input(cfg, params, mem, positives)
+    msg, flag = message_input(cfg, params, mem, positives, rows)
     flags = flag & valid2
     upd = cell_apply(cfg, params, msg, rows)
     upd = upd.astype(mem.memory.dtype)  # table may store bf16
@@ -219,10 +219,14 @@ def _store_messages(cfg, params, mem: MemoryState, edge_feats, src, dst, t, eidx
     )
     keep = valid2 & (winner[snd] == pos)
 
-    if cfg.use_source_embedding_in_message:
-        snd_part = jnp.concatenate([src_emb, dst_emb], axis=0)
+    if cfg.compact_messages:
+        # the sender-memory part is not stored (message_input re-attaches it
+        # from the consumer's own hidden-state gather — Config.compact_messages)
+        parts = []
+    elif cfg.use_source_embedding_in_message:
+        parts = [jnp.concatenate([src_emb, dst_emb], axis=0)]
     else:
-        snd_part = mem.memory[snd]
+        parts = [mem.memory[snd]]
     if cfg.use_destination_embedding_in_message:
         rcv_part = jnp.concatenate([dst_emb, src_emb], axis=0)
     else:
@@ -230,8 +234,8 @@ def _store_messages(cfg, params, mem: MemoryState, edge_feats, src, dst, t, eidx
 
     basis = time_basis(cfg.time_dim)
     msg = jnp.concatenate(
-        [
-            snd_part,
+        parts
+        + [
             rcv_part,
             edge_feats[e2],
             time_encode(t2 - mem.last_update[snd], basis),
