@@ -107,6 +107,14 @@ class Config:
                                      # [N, msg_dim] table dominates HBM and
                                      # the lazy-update gather bandwidth
                                      # (2.15GB f32 at Wiki-Talk scale)
+    compute_dtype: str = "float32"   # MXU input dtype for the dense-tower /
+                                     # updater-cell matmuls (f32 accumulation,
+                                     # f32 master weights). bfloat16 measured
+                                     # 17% SLOWER end-to-end at the default
+                                     # widths (100-600): the cast traffic
+                                     # dominates and the matmuls are too small
+                                     # to be MXU-bound. Flag retained for
+                                     # wider models where bf16 should win.
     memory_dtype: str = "float32"    # node-memory table storage dtype;
                                      # bfloat16 halves the recurrent state's
                                      # HBM traffic but compounds rounding
@@ -169,6 +177,16 @@ class Config:
         if self.compact_messages:
             return self.message_dim - self.memory_dim
         return self.message_dim
+
+    @property
+    def mxu_dtype(self):
+        """jnp dtype for MXU matmul inputs, or None for plain f32 math
+        (models/cells.py matmul)."""
+        if self.compute_dtype == "bfloat16":
+            import jax.numpy as jnp
+
+            return jnp.bfloat16
+        return None
 
     @property
     def cell_input_dim(self) -> int:
@@ -243,6 +261,8 @@ class Config:
         p.add_argument("--message_dtype", type=str, default="bfloat16",
                        choices=["bfloat16", "float32"])
         p.add_argument("--memory_dtype", type=str, default="float32",
+                       choices=["bfloat16", "float32"])
+        p.add_argument("--compute_dtype", type=str, default="float32",
                        choices=["bfloat16", "float32"])
         p.add_argument("--checkpoint_dir", type=str, default="saved_checkpoints")
         p.add_argument("--log_dir", type=str, default="log")

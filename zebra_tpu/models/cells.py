@@ -22,6 +22,22 @@ def _uniform(rng, shape, bound):
     return jax.random.uniform(rng, shape, jnp.float32, -bound, bound)
 
 
+def matmul(x: jnp.ndarray, w: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+    """``x @ w`` with optional reduced-precision MXU inputs: operands cast to
+    ``compute_dtype`` (typically bfloat16 — the MXU's native input width; f32
+    multiplies run at a fraction of the bf16 rate), accumulation in f32
+    (``preferred_element_type``). None = plain f32 matmul. Weights stay f32
+    in the optimizer either way."""
+    if compute_dtype is None:
+        return x @ w
+    return jax.lax.dot_general(
+        x.astype(compute_dtype),
+        w.astype(compute_dtype),
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def gru_init(rng, input_dim: int, hidden_dim: int) -> Dict[str, jnp.ndarray]:
     ks = jax.random.split(rng, 4)
     b = 1.0 / jnp.sqrt(hidden_dim)
@@ -33,11 +49,12 @@ def gru_init(rng, input_dim: int, hidden_dim: int) -> Dict[str, jnp.ndarray]:
     }
 
 
-def gru_apply(params, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+def gru_apply(params, x: jnp.ndarray, h: jnp.ndarray,
+              compute_dtype=None) -> jnp.ndarray:
     """x [..., D], h [..., H] → h' [..., H]."""
     hd = h.shape[-1]
-    gi = x @ params["w_ih"] + params["b_ih"]
-    gh = h @ params["w_hh"] + params["b_hh"]
+    gi = matmul(x, params["w_ih"], compute_dtype) + params["b_ih"]
+    gh = matmul(h, params["w_hh"], compute_dtype) + params["b_hh"]
     i_r, i_z, i_n = gi[..., :hd], gi[..., hd : 2 * hd], gi[..., 2 * hd :]
     h_r, h_z, h_n = gh[..., :hd], gh[..., hd : 2 * hd], gh[..., 2 * hd :]
     r = jax.nn.sigmoid(i_r + h_r)
@@ -57,8 +74,12 @@ def rnn_init(rng, input_dim: int, hidden_dim: int) -> Dict[str, jnp.ndarray]:
     }
 
 
-def rnn_apply(params, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
-    return jnp.tanh(x @ params["w_ih"] + params["b_ih"] + h @ params["w_hh"] + params["b_hh"])
+def rnn_apply(params, x: jnp.ndarray, h: jnp.ndarray,
+              compute_dtype=None) -> jnp.ndarray:
+    return jnp.tanh(
+        matmul(x, params["w_ih"], compute_dtype) + params["b_ih"]
+        + matmul(h, params["w_hh"], compute_dtype) + params["b_hh"]
+    )
 
 
 CELLS = {

@@ -51,7 +51,7 @@ def _lazy_rows(cfg: Config, params, mem, ids, train: bool, enable=None):
         return rows
     _, cell = CELLS[cfg.memory_updater]
     msg, flag = message_input(cfg, params, mem, ids, rows)
-    upd = cell(params["cell"], msg, rows)
+    upd = cell(params["cell"], msg, rows, cfg.mxu_dtype)
     gate = flag if enable is None else (flag & enable)
     return jnp.where(gate[..., None], upd, rows)
 

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from zebra_tpu.config import Config
-from zebra_tpu.models.cells import CELLS
+from zebra_tpu.models.cells import CELLS, matmul
 from zebra_tpu.models.time_encoding import time_basis, time_encode
 
 TgnParams = Dict[str, Any]
@@ -107,19 +107,20 @@ def init_tgn_params(rng, cfg: Config) -> TgnParams:
 
 # ------------------------------------------------------------------ applies
 
-def _mlp2(p1, p2, x, dropout_rng, dropout: float, train: bool):
+def _mlp2(p1, p2, x, dropout_rng, dropout: float, train: bool, mxu=None):
     """fc2(drop(relu(fc1(x)))) — both diffusion transforms
-    (reference embedding_module.py:320-328)."""
-    hidden = jax.nn.relu(_linear(p1, x))
+    (reference embedding_module.py:320-328). ``mxu`` is the matmul input
+    dtype (Config.mxu_dtype; None = f32)."""
+    hidden = jax.nn.relu(matmul(x, p1["w"], mxu) + p1["b"])
     if train and dropout > 0.0:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout, hidden.shape)
         hidden = jnp.where(keep, hidden / (1.0 - dropout), 0.0)
-    return _linear(p2, hidden)
+    return matmul(hidden, p2["w"], mxu) + p2["b"]
 
 
 def cell_apply(cfg: Config, params: TgnParams, msgs, mem):
     _, apply = CELLS[cfg.memory_updater]
-    return apply(params["cell"], msgs, mem)
+    return apply(params["cell"], msgs, mem, cfg.mxu_dtype)
 
 
 def message_input(cfg: Config, params: TgnParams, mem_state, ids,
@@ -183,11 +184,11 @@ def diffusion_embed(
     )
 
     src_emb = _mlp2(params["fc1_src"], params["fc2_src"], src_mem, k_src,
-                    cfg.dropout, train)
+                    cfg.dropout, train, cfg.mxu_dtype)
 
     nbr_in = jnp.concatenate([nbr_mem, nbr_static], axis=-1)
     nbr_emb = _mlp2(params["fc1"], params["fc2"], nbr_in, k_nbr,
-                    cfg.dropout, train)                      # [M, Q, k, d]
+                    cfg.dropout, train, cfg.mxu_dtype)       # [M, Q, k, d]
 
     # weight-normalize with the zero-sum guard (embedding_module.py:268-271)
     w_sum = jnp.sum(w, axis=-1, keepdims=True)               # [M, Q, 1]
@@ -199,9 +200,12 @@ def diffusion_embed(
     return jnp.concatenate(parts, axis=-1)                   # [Q, d·(M+1)]
 
 
-def affinity_score(params: TgnParams, e1: jnp.ndarray, e2: jnp.ndarray) -> jnp.ndarray:
+def affinity_score(params: TgnParams, e1: jnp.ndarray, e2: jnp.ndarray,
+                   mxu=None) -> jnp.ndarray:
     """MergeLayer link head → logits [B] (reference util.py:14-26; sigmoid is
     applied by the caller / folded into the loss)."""
     x = jnp.concatenate([e1, e2], axis=-1)
-    hidden = jax.nn.relu(_linear(params["affinity_fc1"], x))
-    return _linear(params["affinity_fc2"], hidden)[..., 0]
+    hidden = jax.nn.relu(matmul(x, params["affinity_fc1"]["w"], mxu)
+                         + params["affinity_fc1"]["b"])
+    return (matmul(hidden, params["affinity_fc2"]["w"], mxu)
+            + params["affinity_fc2"]["b"])[..., 0]

@@ -159,6 +159,7 @@ def _scores(cfg, params, emb, b):
         params,
         jnp.concatenate([e_src, e_src], axis=0),
         jnp.concatenate([e_dst, e_neg], axis=0),
+        cfg.mxu_dtype,
     )
     return logits[:b], logits[b:]
 
