@@ -37,7 +37,7 @@ from zebra_tpu.index.streaming import (
     _merge_both,
     _split_rows,
 )
-from zebra_tpu.utils.xla_options import env_compiler_options
+from zebra_tpu.utils.xla_options import resolve_compiler_options
 
 
 def wave_flat_index(
@@ -100,13 +100,7 @@ def _wave_step(state: TpprState, src, dst, neg, t, eidx, valid,
     return state, rows
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("params", "n_waves", "cap", "use_pallas"),
-    donate_argnames=("state",),
-    compiler_options=env_compiler_options(),
-)
-def wave_scan_chunk(
+def _wave_scan_chunk(
     state: TpprState,
     params: TpprParams,
     src: jnp.ndarray,    # i32 [E] stream chunk (device-resident)
@@ -162,3 +156,20 @@ def wave_scan_chunk(
     )
     take = jnp.where(valid, jnp.minimum(flat, total), total)
     return state, flat_rows[take]
+
+
+_wave_scan_chunk_jit = None
+
+
+def wave_scan_chunk(*args, **kwargs):
+    """Jitted :func:`_wave_scan_chunk`; compiler options resolved at first
+    call (utils/xla_options — backend probing must not happen at import)."""
+    global _wave_scan_chunk_jit
+    if _wave_scan_chunk_jit is None:
+        _wave_scan_chunk_jit = functools.partial(
+            jax.jit,
+            static_argnames=("params", "n_waves", "cap", "use_pallas"),
+            donate_argnames=("state",),
+            compiler_options=resolve_compiler_options(),
+        )(_wave_scan_chunk)
+    return _wave_scan_chunk_jit(*args, **kwargs)

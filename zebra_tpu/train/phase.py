@@ -32,7 +32,7 @@ from zebra_tpu.index.streaming import (
     unpack_queries,
 )
 from zebra_tpu.models.memory import MemoryState
-from zebra_tpu.utils.xla_options import env_compiler_options
+from zebra_tpu.utils.xla_options import resolve_compiler_options
 from zebra_tpu.train.step import (
     StepMetrics,
     _commit_pending,
@@ -96,13 +96,7 @@ def _index_queries(cfg: Config, tppr_params: TpprParams, index_state,
     return index_state, q
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "train", "n_batches"),
-    donate_argnames=("params", "opt_state", "mem", "index_state"),
-    compiler_options=env_compiler_options(),
-)
-def run_phase(
+def _run_phase(
     cfg: Config,
     train: bool,
     n_batches: int,
@@ -231,3 +225,20 @@ def run_phase(
         batch_body, (params, opt_state, mem, index_state, rng), xs, unroll=2
     )
     return params, opt_state, mem, index_state, metrics
+
+
+_run_phase_jit = None
+
+
+def run_phase(*args, **kwargs):
+    """Jitted :func:`_run_phase`; compiler options resolved at first call
+    (utils/xla_options — backend probing must not happen at import)."""
+    global _run_phase_jit
+    if _run_phase_jit is None:
+        _run_phase_jit = functools.partial(
+            jax.jit,
+            static_argnames=("cfg", "train", "n_batches"),
+            donate_argnames=("params", "opt_state", "mem", "index_state"),
+            compiler_options=resolve_compiler_options(),
+        )(_run_phase)
+    return _run_phase_jit(*args, **kwargs)

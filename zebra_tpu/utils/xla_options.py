@@ -2,17 +2,23 @@
 
 XLA's memory-space-assignment pass (MSA) stages buffers into alternate
 memory (VMEM, space S(1)) with async copies. On the whole-epoch fused scan
-the pass re-stages the full node tables and the loop-invariant weights
-every iteration — the device profile shows ~70% of the train-scan wall
-clock spent in `copy-start` ops (NOTES.md). Two libtpu flags that steer the
-pass are accepted through the remote-compile path, so we thread per-jit
-``compiler_options`` from the environment:
+the pass re-stages the full node tables every iteration; disabling
+alternate-memory placement for these programs measured +4% end-to-end
+(103.3k vs 99.5k ev/s on the bench stream) — the sparse row gathers/
+scatters are cheaper served straight from HBM than the full-table staging
+copies. XLA_FLAGS cannot carry TPU-backend flags on tunneled deployments
+(the client-side parser rejects them), but per-jit ``compiler_options``
+are forwarded to the backend compiler and validated there, so the hot jits
+thread their options through :func:`resolve_compiler_options`:
 
-    ZEBRA_XLA_TPU_OPTIONS="xla_tpu_disallow_in_alt_mem=true,..."
+- ``ZEBRA_XLA_TPU_OPTIONS="k=v,k=v"`` always wins (set it to "none" to
+  force no options on a TPU backend);
+- otherwise, on a TPU backend, the measured default below;
+- otherwise (CPU/GPU backends, which reject TPU flags) no options.
 
-Empty (the default) means no options — required on CPU backends, which
-reject TPU flags. The Trainer sets validated defaults when running on TPU
-(see train/loop.py); the env var always wins for experimentation.
+Resolution happens lazily at the first call of each hot jit — never at
+import — so ``jax.distributed.initialize`` still runs before any backend
+probe on multi-process bring-up.
 """
 
 from __future__ import annotations
@@ -22,13 +28,21 @@ from typing import Dict, Optional
 
 _ENV = "ZEBRA_XLA_TPU_OPTIONS"
 
+# Measured on one v5e chip (bench stream, streaming strategy): see NOTES.md.
+# A/B'd against xla_tpu_msa_inefficient_use_to_copy_ratio∈{0.5, 8.0} (+2%,
+# +0%) and no options.
+TPU_DEFAULT_OPTIONS: Dict[str, str] = {"xla_tpu_disallow_in_alt_mem": "true"}
+
 
 def env_compiler_options() -> Optional[Dict[str, str]]:
     """Parse ZEBRA_XLA_TPU_OPTIONS ("k=v,k=v") into a compiler-options dict;
-    None when unset/empty (jax.jit treats None as no options)."""
+    None when unset/empty; {} for the sentinel "none" (explicitly no
+    options)."""
     raw = os.environ.get(_ENV, "").strip()
     if not raw:
         return None
+    if raw.lower() == "none":
+        return {}
     out: Dict[str, str] = {}
     for kv in raw.split(","):
         kv = kv.strip()
@@ -38,4 +52,18 @@ def env_compiler_options() -> Optional[Dict[str, str]]:
             raise ValueError(f"{_ENV}: expected k=v, got {kv!r}")
         k, v = kv.split("=", 1)
         out[k.strip()] = v.strip()
-    return out or None
+    return out
+
+
+def resolve_compiler_options() -> Optional[Dict[str, str]]:
+    """Compiler options for a hot jit: the env override, else the measured
+    TPU defaults when the active backend is TPU, else None. Call at first
+    use, not import (initializes the backend)."""
+    env = env_compiler_options()
+    if env is not None:
+        return env or None
+    import jax
+
+    if jax.default_backend() == "tpu":
+        return dict(TPU_DEFAULT_OPTIONS)
+    return None
