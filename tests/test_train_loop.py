@@ -181,3 +181,22 @@ def test_tiny_dataset_with_empty_splits():
     assert induct.ap == 0.0  # empty split scores nothing, no NaN
     t_trans, t_induct = trainer.test()
     assert np.isfinite(t_trans.ap) and t_induct.ap == 0.0
+
+def test_lazy_dedup_matches_per_position():
+    """The unique-compacted lazy-update path (Config.lazy_unique_cap) is
+    numerically equivalent to the per-position path, including when a tiny
+    cap forces the lax.cond overflow fallback every batch."""
+    results = {}
+    # auto cap (dedup active), per-position, and a cap of 2 (always
+    # overflows with topk=5 -> every batch takes the fallback branch)
+    for name, cap in [("auto", -1), ("off", 0), ("overflow", 2)]:
+        trainer = _make_trainer("streaming", lazy_unique_cap=cap)
+        r = trainer.train_epoch()
+        r2 = trainer.train_epoch()
+        val, _ = trainer.validate()
+        results[name] = (float(r.loss), float(r2.loss), float(val.ap))
+    off = np.array(results["off"])
+    for name in ("auto", "overflow"):
+        got = np.array(results[name])
+        np.testing.assert_allclose(got, off, rtol=2e-4, atol=2e-5,
+                                   err_msg=name)

@@ -100,6 +100,24 @@ class Config:
     pallas_merge: bool = True        # fused Pallas kernel for the SANTA merge
                                      # (used when running on TPU; ~3x the
                                      # XLA merge)
+    lazy_unique_cap: int = 0         # static row budget for the deduplicated
+                                     # lazy-update path (train/step.py): the
+                                     # selected-neighbor set's unique ids are
+                                     # compacted to ≤cap rows and the updater
+                                     # cell runs once per unique node instead
+                                     # of once per position. An epoch with a
+                                     # batch whose unique count exceeds cap
+                                     # is rerun on the exact per-position
+                                     # path (Trainer, loop.py), so results
+                                     # are correct for any cap. -1 = auto
+                                     # (2/5 of the position count); 0 =
+                                     # per-position (DEFAULT: on v5e at the
+                                     # bench shapes the compaction's sorts +
+                                     # re-expansion cost ~2.3x the updater
+                                     # work they save — see NOTES.md; enable
+                                     # for streams with extreme selected-set
+                                     # duplication, e.g. small node
+                                     # populations)
     prng_impl: str = "rbg"           # jax PRNG implementation; rbg is much
                                      # cheaper than threefry for per-batch
                                      # dropout masks on TPU
@@ -256,6 +274,7 @@ class Config:
         p.add_argument("--profile", action="store_true")
         p.add_argument("--no_pallas_merge", dest="pallas_merge",
                        action="store_false")
+        p.add_argument("--lazy_unique_cap", type=int, default=0)
         p.add_argument("--prng_impl", type=str, default="rbg",
                        choices=["rbg", "threefry2x32"])
         p.add_argument("--message_dtype", type=str, default="bfloat16",

@@ -75,6 +75,10 @@ class PhaseResult:
     seconds: float = 0.0
     index_seconds: float = 0.0  # host+device time in the T-PPR index scan
                                 # (reference logs 'tppr: {t}', train.py:275)
+    overflow: float = 0.0       # >0: some batch overflowed the lazy-update
+                                # compaction cap (train/step.py) and the
+                                # epoch's numbers are from the compacted
+                                # path; train_epoch reruns it per-position
 
 
 class PhaseStream(NamedTuple):
@@ -228,6 +232,10 @@ class Trainer:
         # eval negatives are fixed per phase, so their wave schedules (and
         # the uploaded flat slot vectors) are computed once and reused
         self._eval_scheds: Dict[str, list] = {}
+        # sticky switch to the per-position lazy-update path after a batch
+        # overflows the unique compaction cap (train/step.py:make_lazy_plan);
+        # the overflowing epoch itself is rerun exactly (train_epoch)
+        self._lazy_fallback = False
 
     # ---------------------------------------------------------------- helpers
 
@@ -379,6 +387,12 @@ class Trainer:
         actually run."""
         t0 = time.time()
         cfg = self.cfg
+        # after a compaction-cap overflow the train program switches to the
+        # exact per-position lazy-update variant (sticky; see train_epoch)
+        run_cfg = (
+            cfg.replace(lazy_unique_cap=0)
+            if train and self._lazy_fallback else cfg
+        )
         stream, n_batches, real_batches, n_chunks = self._streams[stream_name]
         host = self._host_streams[stream_name]
         use_waves = (
@@ -389,8 +403,8 @@ class Trainer:
         scheds = None
         if train:
             ti0 = time.time()
-            if start_chunk > 0 and self._epoch_negs is not None:
-                # mid-epoch resume: reuse the checkpointed draw
+            if self._epoch_negs is not None:
+                # mid-epoch resume or overflow rerun: reuse this epoch's draw
                 negs, negs_dev = self._epoch_negs, None
             elif (self._train_prefetch is not None
                   and self._train_prefetch[0] == self._epoch_id):
@@ -418,7 +432,7 @@ class Trainer:
 
         if not use_waves:
             self.params, self.opt_state, self.mem, index_state, metrics = run_phase(
-                cfg, train, n_batches,
+                run_cfg, train, n_batches,
                 self.params, self.opt_state, self.mem, index_state,
                 rng, self.edge_feats, nbr_index, stream,
             )
@@ -463,7 +477,7 @@ class Trainer:
                     jax.block_until_ready(queries)
                 t_index += time.time() - ti0
                 self.params, self.opt_state, self.mem, _, metrics = run_phase(
-                    cfg, train, (hi - lo) // cfg.bs,
+                    run_cfg, train, (hi - lo) // cfg.bs,
                     self.params, self.opt_state, self.mem, (),
                     jax.random.fold_in(rng, ci), self.edge_feats, nbr_index,
                     chunk_stream, queries,
@@ -493,6 +507,7 @@ class Trainer:
             loss=mean[0], ap=mean[1], auc=mean[2], acc=mean[3],
             seconds=time.time() - t0,
             index_seconds=t_index if use_waves else 0.0,
+            overflow=float(ms.overflow[:real_batches].max()),
         )
 
     def _eval_rng(self, seed: int):
@@ -512,24 +527,60 @@ class Trainer:
         state (no reset); ``max_chunks`` stops after that many superchunks
         so the caller can ``save_state`` a mid-epoch cursor."""
         cfg = self.cfg
+        # the lazy-update compaction (train/step.py:make_lazy_plan) is exact
+        # unless a batch's unique selected-node count overflows the static
+        # cap; snapshot the (small) trainable state so an overflowed epoch
+        # can be rerun bit-correctly on the per-position program
+        snapshot = None
+        if start_chunk == 0 and max_chunks is None and not self._lazy_fallback:
+            snapshot = (_copy(self.params), _copy(self.opt_state))
         if start_chunk == 0:
-            self.mem, self.index_state = _fresh_epoch_state(cfg)
-            if self._mesh is not None:
-                from zebra_tpu.parallel import shard_index_state, shard_memory
-
-                self.mem = shard_memory(self.mem, self._mesh)
-                self.index_state = shard_index_state(self.index_state, self._mesh)
+            self._reset_epoch_state()
             self.rng, self._epoch_rng = jax.random.split(self.rng)
         self.index_state, result = self._phase(
             "train", True, self.index_state, self.train_nbr_index,
             self._epoch_rng, start_chunk, max_chunks,
         )
+        if result.overflow > 0 and not self._lazy_fallback:
+            self._lazy_fallback = True
+            if snapshot is not None:
+                logger.warning(
+                    "lazy-update compaction cap overflowed (epoch %d); "
+                    "rerunning the epoch on the per-position path and "
+                    "switching to it for the rest of the run "
+                    "(set --lazy_unique_cap to resize)", self._epoch_id,
+                )
+                self.params, self.opt_state = snapshot
+                self._reset_epoch_state()
+                self.index_state, result = self._phase(
+                    "train", True, self.index_state, self.train_nbr_index,
+                    self._epoch_rng,
+                )
+            else:
+                # windowed/mid-epoch run: earlier chunks were already folded
+                # into donated state, so this epoch cannot be replayed —
+                # surface it loudly and fall back from the next epoch on
+                logger.error(
+                    "lazy-update compaction cap overflowed during a windowed "
+                    "epoch run; this epoch's updates used the compacted path "
+                    "(set --lazy_unique_cap 0 or restart from the last "
+                    "checkpoint for exact results)",
+                )
         if self._chunk_cursor >= self._streams["train"].n_chunks:
             # epoch complete: the cursor and its epoch-scoped state expire
             self._chunk_cursor = 0
             self._epoch_negs = None
             self._epoch_id += 1
         return result
+
+    def _reset_epoch_state(self):
+        """Zeroed memory + empty index, sharded when a mesh is active."""
+        self.mem, self.index_state = _fresh_epoch_state(self.cfg)
+        if self._mesh is not None:
+            from zebra_tpu.parallel import shard_index_state, shard_memory
+
+            self.mem = shard_memory(self.mem, self._mesh)
+            self.index_state = shard_index_state(self.index_state, self._mesh)
 
     def validate(self) -> Tuple[PhaseResult, PhaseResult]:
         """Transductive + inductive validation with the backup/restore dance

@@ -40,6 +40,7 @@ from zebra_tpu.train.step import (
     _masked_mean,
     _scores,
     _store_messages,
+    make_lazy_plan,
     make_optimizer,
 )
 
@@ -129,9 +130,9 @@ def _run_phase(
         or cfg.use_destination_embedding_in_message
     )
 
-    def loss_fn(p, mem, s, q, drop_rng, nodes3, times3, valid):
+    def loss_fn(p, mem, s, q, drop_rng, nodes3, times3, valid, plan):
         emb = _forward(cfg, p, mem, edge_feats, nodes3, times3, q, nbr_index,
-                       drop_rng, train=True)
+                       drop_rng, train=True, plan=plan)
         pos_logit, neg_logit = _scores(cfg, p, emb, b)
         bce_pos = optax.sigmoid_binary_cross_entropy(
             pos_logit, jnp.ones_like(pos_logit)
@@ -172,10 +173,20 @@ def _run_phase(
         positives = jnp.concatenate([s.src, s.dst])
         valid2 = jnp.concatenate([s.valid, s.valid])
 
+        overflow = jnp.zeros(())
         if train:
+            # the id sort/compaction plan is integer-only: building it
+            # outside the grad keeps the remat pass from re-sorting the
+            # selected ids in the backward (train/step.py:make_lazy_plan)
+            plan = (
+                make_lazy_plan(cfg, q, nodes3)
+                if cfg.embedding_module == "diffusion" else None
+            )
+            if plan is not None:
+                overflow = plan.overflow
             (loss, (pos_p, neg_p, emb2b)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
-            )(params, mem, s, q, k_drop, nodes3, times3, s.valid)
+            )(params, mem, s, q, k_drop, nodes3, times3, s.valid, plan)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             src_emb = dst_emb = None
@@ -216,6 +227,7 @@ def _run_phase(
             ap=masked_ap(pos_p, neg_p, s.valid),
             auc=masked_auc(pos_p, neg_p, s.valid),
             acc=masked_rank_acc(pos_p, neg_p, s.valid),
+            overflow=overflow,
         )
         return (params, opt_state, mem, index_state, rng), metrics
 

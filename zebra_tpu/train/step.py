@@ -34,10 +34,11 @@ MXU-friendly batched cell application over [M·3b·k] rows.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from zebra_tpu.config import Config
@@ -70,6 +71,10 @@ class StepMetrics(NamedTuple):
     ap: jnp.ndarray
     auc: jnp.ndarray
     acc: jnp.ndarray
+    # 1.0 where the batch's unique selected-node count overflowed the lazy
+    # compaction cap (train diffusion only — the Trainer reruns the epoch
+    # per-position; see make_lazy_plan)
+    overflow: jnp.ndarray
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
@@ -93,6 +98,158 @@ def _lazy_rows(cfg: Config, params: TgnParams, mem: MemoryState, ids, enable):
     return jnp.where((flag & enable)[..., None], upd, rows)
 
 
+class LazyPlan(NamedTuple):
+    """Id bookkeeping for the train-forward lazy memory updates, built by
+    :func:`make_lazy_plan` OUTSIDE the differentiated step (integer-only, so
+    keeping it out of the grad stops the remat pass re-sorting the selected
+    ids in the backward). ``uniq`` is None in per-position mode."""
+
+    in_sel: jnp.ndarray             # bool [3b]: query node ∈ selected set
+                                    # (gates its lazy update — the
+                                    # reference's ``index`` argument,
+                                    # embedding_module.py:228-230)
+    overflow: jnp.ndarray           # f32 []: 1.0 when the batch's unique
+                                    # count exceeded the static cap (rows
+                                    # are then WRONG — the Trainer reruns
+                                    # the epoch per-position, loop.py)
+    uniq: Any = None                # i32 [cap] sorted unique ids, sentinel-
+                                    # padded (INT32_MAX past the count)
+    gather_ids: Any = None          # i32 [cap] uniq with pad → node 0
+    jn: Any = None                  # i32 [M, 3b, k] position → unique slot
+    j3: Any = None                  # i32 [3b] query → unique slot
+    perm: Any = None                # i32 [S] id-sorted position order
+    start_pos: Any = None           # i32 [cap] segment starts in perm order
+    end_pos: Any = None             # i32 [cap] segment ends (exclusive)
+
+
+def resolve_lazy_cap(cfg: Config, n_positions: int) -> int:
+    """The static unique-row budget: cfg.lazy_unique_cap, with -1 = auto
+    (2/5 of the position count — measured p90 unique ≈ 0.32·S on realistic
+    skewed streams, and overflow is handled exactly by the Trainer's
+    per-position rerun). 0 when dedup wouldn't shrink anything."""
+    cap = cfg.lazy_unique_cap
+    if cap < 0:
+        cap = max(256, (2 * n_positions) // 5)
+    if cap >= n_positions:
+        return 0
+    return cap
+
+
+def make_lazy_plan(cfg: Config, q, nodes3) -> LazyPlan:
+    """Sort + compact the selected-neighbor ids for :func:`_train_lazy_rows`.
+
+    Membership (``in_sel``) is tested by sort + searchsorted over the
+    3b·M·k selected ids: a [N] bool scatter + gather costs ~0.4ms/batch
+    inside the fused scan (bitpacked pred scatters serialize); the sort
+    touches no node-sized table.
+
+    The unique compaction is scatter- and binary-search-free (TPU scatters
+    serialize per update, and jnp.searchsorted's scan method measured
+    ~2ms/batch at these sizes): ranks come from a cumsum over the sorted
+    ids' new-segment mask; the position→slot map is the rank list sorted
+    back to position order (an inverse-permutation sort); and segment
+    boundaries come from one merged sort (searchsorted method='sort')."""
+    ids = q.nbr.reshape(-1)
+    s_total = ids.shape[0]
+    flat, perm = jax.lax.sort_key_val(
+        ids, jnp.arange(s_total, dtype=jnp.int32)
+    )
+    cap = resolve_lazy_cap(cfg, s_total)
+    if not cap:
+        j = jnp.searchsorted(flat, nodes3, method="sort")
+        in_sel = flat[jnp.minimum(j, s_total - 1)] == nodes3
+        return LazyPlan(in_sel=in_sel, overflow=jnp.zeros(()))
+
+    big = jnp.iinfo(jnp.int32).max
+    is_new = jnp.concatenate([jnp.ones((1,), bool), flat[1:] != flat[:-1]])
+    rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1     # [S], sorted
+    n_unique = rank[-1] + 1
+    # position → unique slot: undo the id sort on the rank list
+    _, jn_flat = jax.lax.sort_key_val(perm, rank)
+    jn = jnp.minimum(jn_flat, cap - 1).reshape(q.nbr.shape)
+    r = jnp.arange(cap, dtype=jnp.int32)
+    end_pos = jnp.searchsorted(rank, r, side="right", method="sort")
+    start_pos = jnp.concatenate(
+        [jnp.zeros((1,), end_pos.dtype), end_pos[:-1]]
+    )                                                   # contiguous segments
+    live = r < n_unique
+    uniq = jnp.where(
+        live, flat[jnp.minimum(start_pos, s_total - 1)], big
+    )
+    gather_ids = jnp.where(live, uniq, 0)
+    j3 = jnp.minimum(
+        jnp.searchsorted(uniq, nodes3, method="sort"), cap - 1
+    )
+    in_sel = uniq[j3] == nodes3
+    return LazyPlan(
+        in_sel=in_sel,
+        overflow=(n_unique > cap).astype(jnp.float32),
+        uniq=uniq,
+        gather_ids=gather_ids,
+        jn=jn,
+        j3=j3,
+        perm=perm,
+        start_pos=start_pos,
+        end_pos=end_pos,
+    )
+
+
+@jax.custom_vjp
+def _dedup_gather(rows_u, jn, perm, start_pos, end_pos):
+    """``rows_u[jn]`` whose backward is a sorted-segment sum (prefix-sum +
+    boundary differences over the id-sorted cotangents) instead of the
+    default 24k-row scatter-add, which serializes on TPU."""
+    return rows_u[jn]
+
+
+def _dedup_gather_fwd(rows_u, jn, perm, start_pos, end_pos):
+    return rows_u[jn], (jn, perm, start_pos, end_pos)
+
+
+def _dedup_gather_bwd(res, g):
+    jn, perm, start_pos, end_pos = res
+    d = g.shape[-1]
+    g_sorted = g.reshape(-1, d)[perm]                   # [S, d] id-sorted
+    c = jnp.cumsum(g_sorted, axis=0)
+    cpad = jnp.concatenate([jnp.zeros((1, d), c.dtype), c], axis=0)
+    d_rows = cpad[end_pos] - cpad[start_pos]            # [cap, d]
+    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return d_rows, f0(jn), f0(perm), f0(start_pos), f0(end_pos)
+
+
+_dedup_gather.defvjp(_dedup_gather_fwd, _dedup_gather_bwd)
+
+
+def _train_lazy_rows(cfg: Config, params: TgnParams, mem: MemoryState,
+                     nodes3, q, plan: LazyPlan):
+    """Lazily-updated memory rows for the train forward: the 3b query rows
+    (updated only when the node is in the selected-neighbor set) and the
+    [M, 3b, k] selected-neighbor rows (always updated).
+
+    With a compaction plan the updater cell runs once per unique selected
+    node instead of once per position (measured ~3x id duplication at the
+    defaults: popular nodes recur across the 3b queries and the M ensemble
+    members); positions then gather their node's row. The cell is
+    deterministic in (message, memory), so compaction is exact up to matmul
+    tiling. Overflowed batches (plan.overflow) produce wrong rows here and
+    are rerun per-position by the Trainer."""
+    if plan.uniq is None:
+        src_rows = _lazy_rows(cfg, params, mem, nodes3, plan.in_sel)
+        nbr_rows = _lazy_rows(cfg, params, mem, q.nbr,
+                              jnp.ones_like(q.w, bool))
+        return src_rows, nbr_rows
+
+    cap = plan.uniq.shape[0]
+    rows_u = _lazy_rows(cfg, params, mem, plan.gather_ids,
+                        jnp.ones((cap,), bool))
+    nbr_rows = _dedup_gather(rows_u, plan.jn, plan.perm,
+                             plan.start_pos, plan.end_pos)
+    src_rows = jnp.where(
+        plan.in_sel[:, None], rows_u[plan.j3], mem.memory[nodes3]
+    )
+    return src_rows, nbr_rows
+
+
 def _forward(
     cfg: Config,
     params: TgnParams,
@@ -106,24 +263,19 @@ def _forward(
     train: bool,
     nbr_static=None,             # precomputed diffusion_static_input (train
                                  # phase passes it from outside the grad)
+    plan: LazyPlan = None,       # precomputed make_lazy_plan (train phase
+                                 # passes it from outside the grad)
 ) -> jnp.ndarray:
     """Embeddings for the 3b query rows → [3b, H]; dispatches on
     cfg.embedding_module (see zebra_tpu.models.embedding)."""
     em = cfg.embedding_module
     if em == "diffusion":
         if train:
-            # membership of a query node in the selected-neighbor set gates
-            # its lazy update (reference embedding_module.py:228-230).
-            # Sort + searchsorted over the 3b·M·k selected ids: a [N] bool
-            # scatter + gather here costs ~0.4ms/batch inside the fused scan
-            # (bitpacked pred scatters serialize); the sort-based membership
-            # test touches no node-sized table.
-            flat = jnp.sort(q.nbr.reshape(-1))
-            j = jnp.searchsorted(flat, nodes3)
-            in_sel = flat[jnp.minimum(j, flat.shape[0] - 1)] == nodes3
-            src_rows = _lazy_rows(cfg, params, mem, nodes3, in_sel)
-            nbr_rows = _lazy_rows(cfg, params, mem, q.nbr,
-                                  jnp.ones_like(q.w, bool))
+            if plan is None:
+                plan = make_lazy_plan(cfg, q, nodes3)
+            src_rows, nbr_rows = _train_lazy_rows(
+                cfg, params, mem, nodes3, q, plan
+            )
         else:
             src_rows = mem.memory[nodes3]
             nbr_rows = mem.memory[q.nbr]
