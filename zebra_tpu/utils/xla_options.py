@@ -29,9 +29,15 @@ from typing import Dict, Optional
 _ENV = "ZEBRA_XLA_TPU_OPTIONS"
 
 # Measured on one v5e chip (bench stream, streaming strategy): see NOTES.md.
-# A/B'd against xla_tpu_msa_inefficient_use_to_copy_ratio∈{0.5, 8.0} (+2%,
-# +0%) and no options.
-TPU_DEFAULT_OPTIONS: Dict[str, str] = {"xla_tpu_disallow_in_alt_mem": "true"}
+# disallow_in_alt_mem: +4% (A/B'd against
+# xla_tpu_msa_inefficient_use_to_copy_ratio∈{0.5, 8.0} at +2%/+0% and no
+# options). The remat limit keeps XLA's HLO-rematerialization pass from
+# re-running the fused scan's cheap-but-not-free integer/gather chains in
+# the backward (device profiles show them twice): +2-3%.
+TPU_DEFAULT_OPTIONS: Dict[str, str] = {
+    "xla_tpu_disallow_in_alt_mem": "true",
+    "xla_jf_rematerialization_percent_shared_memory_limit": "99",
+}
 
 
 def env_compiler_options() -> Optional[Dict[str, str]]:
