@@ -23,11 +23,21 @@ def _uniform(rng, shape, bound):
 
 
 def matmul(x: jnp.ndarray, w: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
-    """``x @ w`` with optional reduced-precision MXU inputs: operands cast to
-    ``compute_dtype`` (typically bfloat16 — the MXU's native input width; f32
-    multiplies run at a fraction of the bf16 rate), accumulation in f32
-    (``preferred_element_type``). None = plain f32 matmul. Weights stay f32
-    in the optimizer either way."""
+    """``x @ w`` with reduced-precision MXU inputs where cheap, f32
+    accumulation (``preferred_element_type``), f32 master weights.
+
+    - ``compute_dtype`` set: both operands cast to it (Config.compute_dtype;
+      casting a big f32 activation measured slower than the MXU-rate win at
+      the default widths — see config.py).
+    - ``compute_dtype`` None and ``x`` already low-precision (a bf16 table
+      gather): the matmul runs at the MXU's bf16 rate by casting only the
+      loop-invariant weight — there is NO activation cast traffic, and the
+      data was already bf16-quantized in storage, so the only new rounding
+      is on the weight. Measured faster; A/B'd for accuracy in
+      scripts/parity_run.py.
+    - otherwise: plain f32 matmul."""
+    if compute_dtype is None and x.dtype == jnp.bfloat16:
+        compute_dtype = jnp.bfloat16
     if compute_dtype is None:
         return x @ w
     return jax.lax.dot_general(

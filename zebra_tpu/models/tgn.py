@@ -143,16 +143,23 @@ def message_input(cfg: Config, params: TgnParams, mem_state, ids,
     g = lambda a: a[ids] if ids is not None else a
     rows = g(mem_state.messages)
     flag = rows[..., -1] != 0
-    raw = rows[..., :-1].astype(jnp.float32)
+    # keep the storage dtype on the fast path: a bf16 message/memory gather
+    # feeds the updater-cell matmul directly at the MXU's bf16 rate
+    # (models/cells.py:matmul) — upcasting the [.., msg_dim] gather to f32
+    # costs more than it buys (the data was already bf16-quantized)
+    raw = rows[..., :-1]
     if cfg.aggregator == "mean":
         cnt = g(mem_state.msg_count)
-        raw = raw / jnp.maximum(cnt, 1.0)[..., None]
+        raw = raw.astype(jnp.float32) / jnp.maximum(cnt, 1.0)[..., None]
     if cfg.compact_messages:
         if self_rows is None:
             self_rows = g(mem_state.memory)
-        raw = jnp.concatenate([self_rows.astype(jnp.float32), raw], axis=-1)
+        dt = jnp.promote_types(self_rows.dtype, raw.dtype)
+        raw = jnp.concatenate(
+            [self_rows.astype(dt), raw.astype(dt)], axis=-1
+        )
     if cfg.message_function == "mlp":
-        hidden = jax.nn.relu(_linear(params["msg_fc1"], raw))
+        hidden = jax.nn.relu(_linear(params["msg_fc1"], raw.astype(jnp.float32)))
         raw = _linear(params["msg_fc2"], hidden)
     return raw, flag
 
