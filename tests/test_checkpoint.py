@@ -102,3 +102,22 @@ def test_phase_timers():
     assert t.events["train"] == 200
     assert t.seconds["train"] >= 0
     assert "train" in t.summary()
+
+def test_fit_resume_from_state(tmp_path):
+    """fit(resume_from=...) continues a --state_every checkpoint exactly:
+    same final test metrics as the uninterrupted fit, including the restored
+    early-stop monitor."""
+    ckpt_dir = str(tmp_path / "ck")
+    t1 = _make_trainer("streaming", checkpoint_dir=ckpt_dir, state_every=2,
+                       save_best=True)
+    full = t1.fit(n_epoch=4)
+    state_path = t1.cfg.checkpoint_dir + "/" + t1.cfg.run_name() + ".state.ckpt"
+
+    t2 = _make_trainer("streaming", checkpoint_dir=ckpt_dir, state_every=0,
+                       save_best=True)
+    resumed = t2.fit(n_epoch=4, resume_from=state_path)
+
+    for k in ("test_ap", "test_auc", "nn_test_ap", "stop_epoch"):
+        assert np.isclose(full[k], resumed[k], rtol=1e-5, atol=1e-6), (
+            k, full[k], resumed[k],
+        )

@@ -72,7 +72,7 @@ def main(argv=None):
         trainer = Trainer(
             cfg.replace(seed=cfg.seed + run), splits, edge_feats, node_feats
         )
-        results = trainer.fit()
+        results = trainer.fit(resume_from=cfg.resume_state if run == 0 else None)
         logger.info("run %d finished in %.1fs: %s", run, time.time() - t0, results)
 
 

@@ -82,6 +82,12 @@ class Config:
     save_best: bool = False
     checkpoint_dir: str = "saved_checkpoints"
     log_dir: str = "log"
+    state_every: int = 0             # save a full-state checkpoint
+                                     # (<run>.state.ckpt) every N epochs;
+                                     # resume with --resume_state
+    resume_state: Optional[str] = None  # path of a save_state checkpoint to
+                                        # resume fit() from (epochs, early-
+                                        # stop monitor, mid-epoch cursor)
 
     # ---- parallelism (new; no reference analogue, SURVEY.md §2 row 26) ----
     n_devices: int = 1               # 1 = single device; 0 = all visible; N = mesh of N
@@ -291,6 +297,8 @@ class Config:
                        choices=["bfloat16", "float32"])
         p.add_argument("--checkpoint_dir", type=str, default="saved_checkpoints")
         p.add_argument("--log_dir", type=str, default="log")
+        p.add_argument("--state_every", type=int, default=0)
+        p.add_argument("--resume_state", type=str, default=None)
         p.add_argument("--seed", type=int, default=0)
         return p
 

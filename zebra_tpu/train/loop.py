@@ -236,6 +236,9 @@ class Trainer:
         # overflows the unique compaction cap (train/step.py:make_lazy_plan);
         # the overflowing epoch itself is rerun exactly (train_epoch)
         self._lazy_fallback = False
+        # early-stop monitor fields riding along in save_state (set around
+        # fit's periodic checkpoint; restored by fit(resume_from=...))
+        self._fit_state: Optional[Dict] = None
 
     # ---------------------------------------------------------------- helpers
 
@@ -656,6 +659,7 @@ class Trainer:
             "epoch_rng": self._epoch_rng if chunk else None,
             "epoch_id": self._epoch_id,
             "neg_base": self._neg_base,
+            "fit": self._fit_state,
         })
 
     def restore_state(self, path: str) -> Tuple[int, int]:
@@ -682,11 +686,18 @@ class Trainer:
         if ckpt.get("neg_base") is not None:
             self._neg_base = int(ckpt["neg_base"])
         self._train_prefetch = None  # keyed to the pre-restore epoch stream
+        self._fit_state = ckpt.get("fit")
         return int(ckpt["epoch"]), chunk
 
     # ---------------------------------------------------------------- run
 
-    def fit(self, n_epoch: Optional[int] = None) -> Dict[str, float]:
+    def fit(self, n_epoch: Optional[int] = None,
+            resume_from: Optional[str] = None) -> Dict[str, float]:
+        """The reference's per-run loop (train.py:149-320). ``resume_from``
+        restores a ``save_state`` checkpoint (e.g. one written by
+        ``--state_every``) and continues the epoch loop from it, including
+        the early-stop monitor and a mid-epoch stream cursor if one was
+        saved."""
         cfg = self.cfg
         n_epoch = n_epoch or cfg.n_epoch
         stopper = EarlyStopMonitor(max_round=cfg.patience)
@@ -694,13 +705,29 @@ class Trainer:
         timers = PhaseTimers()
         n_train_events = self.splits.train.n_interactions
 
-        for epoch in range(n_epoch):
+        start_epoch, start_chunk = 0, 0
+        if resume_from:
+            start_epoch, start_chunk = self.restore_state(resume_from)
+            for k, v in (self._fit_state or {}).items():
+                setattr(stopper, k, v)
+            logger.info(
+                "resumed from %s at epoch %d chunk %d",
+                resume_from, start_epoch, start_chunk,
+            )
+        state_path = os.path.join(
+            cfg.checkpoint_dir, cfg.run_name() + ".state.ckpt"
+        )
+
+        for epoch in range(start_epoch, n_epoch):
             # capture a device trace of one post-compile epoch when asked
             with trace_context(
                 cfg.trace_dir if epoch == cfg.trace_epoch else None
             ):
                 with timers.time("train", n_train_events):
-                    tr = self.train_epoch()
+                    # a restored mid-epoch cursor finishes its epoch first
+                    tr = self.train_epoch(
+                        start_chunk=start_chunk if epoch == start_epoch else 0
+                    )
             timers.seconds["tppr"] += tr.index_seconds
             with timers.time("val"):
                 trans, induct = self.validate()
@@ -729,6 +756,18 @@ class Trainer:
                 save_checkpoint(
                     self.checkpoint_path, {"params": self.params, "mem": self.mem}
                 )
+            if cfg.state_every and (epoch + 1) % cfg.state_every == 0:
+                # periodic full-state checkpoint (epoch boundary: the next
+                # epoch restarts from zeroed memory/index by protocol, so
+                # params/optimizer/RNGs + the stopper are the whole state)
+                self._fit_state = {
+                    "num_round": stopper.num_round,
+                    "epoch_count": stopper.epoch_count,
+                    "best_epoch": stopper.best_epoch,
+                    "last_best": stopper.last_best,
+                }
+                self.save_state(state_path, epoch=epoch + 1, chunk=0)
+                self._fit_state = None
 
         with timers.time("test"):
             t_trans, t_induct = self.test()
