@@ -20,9 +20,9 @@ Usage::
         --workdir /tmp/zebra_parity [--ab] [--tol 0.02]
 
 ``--ab`` additionally sweeps zebra_tpu's numeric deviations
-(--message_dtype float32|bfloat16, --prng_impl rbg|threefry2x32,
---memory_dtype bfloat16) to validate the bfloat16/rbg defaults and gate the
-bf16 memory-table option. Prints a comparison table and exits nonzero if
+(--message_dtype float32, --prng_impl threefry2x32, --memory_dtype
+float32 — each the conservative variant of a bfloat16/rbg default) to
+validate the defaults against their exact-reference counterparts. Prints a comparison table and exits nonzero if
 |Δ test AP| exceeds --tol.
 
 Reference entry point: /root/reference/train.py:195-317 (run via PYTHONPATH
@@ -177,8 +177,8 @@ def main():
             args.workdir, name, hp, "f32", ("--message_dtype", "float32"))
         results["zebra(threefry)"] = run_zebra(
             args.workdir, name, hp, "threefry", ("--prng_impl", "threefry2x32"))
-        results["zebra(bf16 memory)"] = run_zebra(
-            args.workdir, name, hp, "bf16mem", ("--memory_dtype", "bfloat16"))
+        results["zebra(f32 memory)"] = run_zebra(
+            args.workdir, name, hp, "f32mem", ("--memory_dtype", "float32"))
 
     ref = results["reference"]
     print(f"\n== parity @ n_events={args.n_events}, n_epoch={args.n_epoch}, "

@@ -24,7 +24,10 @@ COMMON=(--n_epoch 50 --bs 200 --enable_random --n_runs 5
         --topk 20 --alpha_list 0.1 0.1 --beta_list 0.5 0.95
         --data_dir "$ROOT" --checkpoint_dir "$ROOT/ckpt" --log_dir "$ROOT/log")
 
-run() { echo "== $* =="; python train.py "$@" "${COMMON[@]}" "${EXTRA[@]:-}"; }
+run() {
+  echo "== $* =="
+  python train.py "$@" "${COMMON[@]}" ${EXTRA[@]+"${EXTRA[@]}"}
+}
 EXTRA=("$@")
 
 # JODIE bipartite streams (Table 4; expect trans AP 98.67 / 98.76 / 92.45)
@@ -36,7 +39,8 @@ run -d mooc      --tppr_strategy streaming
 # width/depth from --n_degree/--n_layer, reference embedding_module.py:107)
 run -d mooc --tppr_strategy pruning --n_degree 10 --n_layer 2
 
-# SNAP custom streams (Table 5; expect trans AP 94.47 / 93.21 / 95.45)
-run -d askubuntu  --tppr_strategy streaming
-run -d superuser  --tppr_strategy streaming
-run -d wiki_talk  --tppr_strategy streaming
+# SNAP custom streams (Table 5; expect trans AP 94.47 / 93.21 / 95.45);
+# names match scripts/download_data.sh's preprocessing output dirs
+run -d askubuntu --tppr_strategy streaming
+run -d superuser --tppr_strategy streaming
+run -d wikitalk  --tppr_strategy streaming

@@ -166,10 +166,10 @@ def message_input(cfg: Config, params: TgnParams, mem_state, ids,
 
 def diffusion_static_input(cfg: Config, edge_feats, eidx, dt) -> jnp.ndarray:
     """The parameter-independent part of the neighbor-tower input:
-    ``[edge_feat; time_enc(Δt)]`` → [M, Q, k, De+Dt]. Built OUTSIDE the
-    differentiated step (train/phase.py) so the backward pass reuses it as a
-    primal input instead of rematerializing the edge gather + cosine chain —
-    each otherwise appears twice per batch in the device profile."""
+    ``[edge_feat; time_enc(Δt)]`` → [M, Q, k, De+Dt]. Computed inside the
+    differentiated step: hoisting it out (saving it as a primal for the
+    backward) was tried and measured SLOWER than letting remat recompute
+    the gather + cosine chain under the matmuls (keeps the live set small)."""
     basis = time_basis(cfg.time_dim)
     return jnp.concatenate([edge_feats[eidx], time_encode(dt, basis)], axis=-1)
 

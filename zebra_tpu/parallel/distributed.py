@@ -28,11 +28,16 @@ def initialize_distributed(
     multi-process runtime was brought up. No-op (False) for the common
     single-process case."""
     coordinator = coordinator or os.environ.get("ZEBRA_COORDINATOR")
-    if num_processes is None:
-        num_processes = int(os.environ.get("ZEBRA_NUM_PROCESSES", "1"))
-    if process_id is None:
-        process_id = int(os.environ.get("ZEBRA_PROCESS_ID", "0"))
-    if num_processes <= 1:
+    # env vars fall back for values the CLI left at their single-process
+    # defaults (the CLI always passes ints, never None — so "unset" means
+    # num_processes<=1 / process_id==0)
+    env_np = os.environ.get("ZEBRA_NUM_PROCESSES")
+    if (num_processes is None or num_processes <= 1) and env_np:
+        num_processes = int(env_np)
+    env_pid = os.environ.get("ZEBRA_PROCESS_ID")
+    if (process_id is None or process_id == 0) and env_pid:
+        process_id = int(env_pid)
+    if num_processes is None or num_processes <= 1:
         return False
     if not coordinator:
         raise ValueError(

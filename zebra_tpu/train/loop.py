@@ -227,6 +227,18 @@ class Trainer:
         # runs epoch e (the tunnel's H2D is the dominant host-side cost);
         # base is deterministic under --seed, random under --enable_random
         self._neg_base = int(np.random.randint(0, 2**31 - 1))
+        if jax.process_count() > 1:
+            # multi-controller JAX requires every process to feed identical
+            # global arrays: under --enable_random each process would draw a
+            # different base (np.random is unseeded), so broadcast process
+            # 0's — negatives and wave schedules then agree everywhere
+            from jax.experimental import multihost_utils
+
+            self._neg_base = int(
+                multihost_utils.broadcast_one_to_all(
+                    np.int64(self._neg_base)
+                )
+            )
         self._epoch_id = 0
         self._train_prefetch = None
         # eval negatives are fixed per phase, so their wave schedules (and
@@ -493,6 +505,11 @@ class Trainer:
                 self._train_prefetch = self._prepare_train_epoch(
                     self._epoch_id + 1
                 )
+            assert all_metrics, (
+                "empty superchunk window: start_chunk="
+                f"{start_chunk}, max_chunks={max_chunks} select none of the "
+                f"{n_chunks} chunks"
+            )
             ms = jax.tree.map(
                 lambda *xs: np.concatenate([np.asarray(x) for x in xs]),
                 *all_metrics,
@@ -678,10 +695,14 @@ class Trainer:
         np.random.set_state(ckpt["np_random"])
         chunk = int(ckpt.get("chunk", 0) or 0)
         self._chunk_cursor = chunk
-        if ckpt.get("epoch_negs") is not None:
-            self._epoch_negs = np.asarray(ckpt["epoch_negs"])
-        if ckpt.get("epoch_rng") is not None:
-            self._epoch_rng = jnp.asarray(ckpt["epoch_rng"])
+        # unconditional: an epoch-boundary checkpoint stores None here, and
+        # stale values from this Trainer's own abandoned partial epoch would
+        # otherwise leak into the restored run (its next train_epoch would
+        # reuse them via _phase's epoch-negs branch)
+        negs = ckpt.get("epoch_negs")
+        self._epoch_negs = np.asarray(negs) if negs is not None else None
+        erng = ckpt.get("epoch_rng")
+        self._epoch_rng = jnp.asarray(erng) if erng is not None else None
         self._epoch_id = int(ckpt.get("epoch_id", 0))
         if ckpt.get("neg_base") is not None:
             self._neg_base = int(ckpt["neg_base"])

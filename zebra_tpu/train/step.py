@@ -266,8 +266,6 @@ def _forward(
     nbr_index,                   # NeighborIndex (recursive towers) or ()
     dropout_rng,
     train: bool,
-    nbr_static=None,             # precomputed diffusion_static_input (train
-                                 # phase passes it from outside the grad)
     plan: LazyPlan = None,       # precomputed make_lazy_plan (train phase
                                  # passes it from outside the grad)
 ) -> jnp.ndarray:
@@ -284,8 +282,10 @@ def _forward(
         else:
             src_rows = mem.memory[nodes3]
             nbr_rows = mem.memory[q.nbr]
-        if nbr_static is None:
-            nbr_static = diffusion_static_input(cfg, edge_feats, q.eidx, q.dt)
+        # the static [edge_feat; time_enc] part stays inside the grad: its
+        # backward remat was measured faster than saving it as a primal
+        # (the gather + cosine recompute under the matmuls)
+        nbr_static = diffusion_static_input(cfg, edge_feats, q.eidx, q.dt)
         return diffusion_embed(
             cfg, params, src_rows, nbr_rows, nbr_static, q.w,
             dropout_rng, train,
