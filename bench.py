@@ -59,10 +59,11 @@ def main():
     # warmup epoch: compiles the index scan + train chunk
     trainer.train_epoch()
 
-    # best of three guards against transient tunnel/service stalls
+    # best-of-5 guards against transient tunnel/service stalls (measured
+    # ±15% service-rate drift between sessions, RESULTS.md)
     n_train = trainer.splits.train.n_interactions
     best = 0.0
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         trainer.train_epoch()
         jax.block_until_ready(trainer.params)
