@@ -64,3 +64,23 @@ def test_two_process_matches_single_process(tmp_path):
         np.testing.assert_allclose(w0[key], ms[key], rtol=1e-5, atol=1e-6,
                                    err_msg=key)
     assert np.isfinite(w0["loss"]).all()
+
+
+def test_initialize_distributed_env_fallbacks(monkeypatch):
+    """The documented ZEBRA_* env fallbacks engage when the CLI leaves the
+    single-process defaults, and a multi-process request without a
+    coordinator fails loudly."""
+    import pytest
+
+    from zebra_tpu.parallel.distributed import initialize_distributed
+
+    # single-process defaults, no env: no-op
+    monkeypatch.delenv("ZEBRA_NUM_PROCESSES", raising=False)
+    monkeypatch.delenv("ZEBRA_COORDINATOR", raising=False)
+    monkeypatch.delenv("ZEBRA_PROCESS_ID", raising=False)
+    assert initialize_distributed(None, 1, 0) is False
+
+    # env requests 2 processes but no coordinator anywhere: loud error
+    monkeypatch.setenv("ZEBRA_NUM_PROCESSES", "2")
+    with pytest.raises(ValueError, match="coordinator"):
+        initialize_distributed(None, 1, 0)
