@@ -1,6 +1,7 @@
 """Wave-parallel SANTA scan: schedule validity and bit-exact equivalence
 with the sequential edge scan."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -198,3 +199,41 @@ def test_owner_aligned_python_fallback_matches_native():
         assert n_c == n_p
         np.testing.assert_array_equal(w_c, w_p)
         np.testing.assert_array_equal(s_c, s_p)
+
+
+@pytest.mark.parametrize("seed,cap,skew", [(7, 1, False), (11, 4, True),
+                                           (13, 8, True), (17, 3, False)])
+def test_wave_scan_fuzz_bit_exact(seed, cap, skew):
+    """Fuzz the scheduler + wave scan against the sequential edge scan:
+    random streams (optionally with a hot node touching ~1/3 of events,
+    the worst case for wave packing), tiny caps down to 1, self-loops."""
+    n_nodes, e = 30, 300
+    rng = np.random.RandomState(seed)
+    src = rng.randint(1, n_nodes, e).astype(np.int32)
+    dst = rng.randint(1, n_nodes, e).astype(np.int32)
+    neg = rng.randint(1, n_nodes, e).astype(np.int32)
+    if skew:  # hot node: worst case for packing; also forces self-loops
+        hot = rng.randint(0, e, e // 3)
+        src[hot] = 1
+        dst[hot[: e // 9]] = 1
+    ts = np.cumsum(rng.exponential(1.0, e)).astype(np.float32)
+    eidx = np.arange(1, e + 1, dtype=np.int32)
+    params = TpprParams.create((0.15,), (0.7,), 4)
+
+    s_seq = init_tppr_state(1, n_nodes, 4)
+    s_seq, _ = streaming_scan(
+        s_seq, params, src, dst, neg, ts, eidx, np.ones(e, bool)
+    )
+
+    flat, n_waves = wave_flat_index(src, dst, neg, n_nodes, cap=cap,
+                                    wave_bucket=8)
+    s_wav = init_tppr_state(1, n_nodes, 4)
+    s_wav, _ = wave_scan_chunk(
+        s_wav, params, jnp.asarray(src), jnp.asarray(dst), jnp.asarray(neg),
+        jnp.asarray(ts), jnp.asarray(eidx), jnp.ones(e, bool),
+        jnp.asarray(flat), n_waves, cap,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s_seq.data), np.asarray(s_wav.data),
+        err_msg=f"seed={seed} cap={cap} skew={skew}",
+    )
