@@ -691,6 +691,16 @@ class Trainer:
         self.index_state = (
             as_dev(ckpt["index_state"]) if ckpt["index_state"] != () else ()
         )
+        if self._mesh is not None:
+            # checkpoints store host arrays; put the node tables back on
+            # their row shards (params/optimizer are replicated anyway)
+            from zebra_tpu.parallel import shard_index_state, shard_memory
+
+            self.mem = shard_memory(self.mem, self._mesh)
+            if self.index_state != ():
+                self.index_state = shard_index_state(
+                    self.index_state, self._mesh
+                )
         self.rng = jnp.asarray(ckpt["rng"])
         np.random.set_state(ckpt["np_random"])
         chunk = int(ckpt.get("chunk", 0) or 0)
