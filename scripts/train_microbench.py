@@ -1,0 +1,67 @@
+"""Per-epoch training-throughput microbench on the bench-scale synthetic
+stream — the A/B harness behind the RESULTS.md optimization trajectory.
+
+Runs the same workload as bench.py but prints every epoch (so service-rate
+drift is visible — the tunneled TPU's effective rate moves ±15% between
+sessions; only back-to-back A/Bs are comparable) and takes config overrides
+on the command line, e.g.::
+
+    python scripts/train_microbench.py                       # defaults
+    python scripts/train_microbench.py memory_dtype=float32
+    python scripts/train_microbench.py lazy_unique_cap=12000 epochs=6
+"""
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from zebra_tpu.config import Config
+    from zebra_tpu.data.dataset import split_data
+    from zebra_tpu.data.synthetic import synthetic_stream
+    from zebra_tpu.train.loop import Trainer
+
+    overrides = {}
+    n_epochs = 5
+    for arg in sys.argv[1:]:
+        k, v = arg.split("=", 1)
+        if k == "epochs":
+            n_epochs = int(v)
+            continue
+        field = Config.__dataclass_fields__[k]
+        overrides[k] = type(field.default)(v)
+
+    data, edge_feats = synthetic_stream(
+        n_events=120_000, n_users=20_000, n_items=20_000, edge_dim=172,
+        seed=0,
+    )
+    splits = split_data(
+        data.sources, data.destinations, data.timestamps, data.edge_idxs,
+        data.labels,
+    )
+    cfg = Config(
+        data="bench", bs=200, node_dim=100, time_dim=100, memory_dim=100,
+        topk=20, alpha_list=(0.1, 0.1), beta_list=(0.05, 0.95),
+        tppr_strategy="streaming", checkpoint_dir="/tmp/zebra_mb_ckpt",
+        **overrides,
+    )
+    trainer = Trainer(cfg, splits, edge_feats)
+    trainer.train_epoch()  # compile
+    n = splits.train.n_interactions
+    for _ in range(n_epochs):
+        t0 = time.time()
+        r = trainer.train_epoch()
+        jax.block_until_ready(trainer.params)
+        dt = time.time() - t0
+        print(f"epoch {dt:.3f}s  {n/dt:.0f} ev/s  "
+              f"(index_s {r.index_seconds:.3f})", flush=True)
+
+
+if __name__ == "__main__":
+    main()
