@@ -53,17 +53,21 @@ def collect_source_embeddings(
     def body(carry, s: Stream):
         mem, index_state = carry
         # the reference's node-classification call passes destinations in the
-        # negative slot (evaluation.py:69-74)
+        # negative slot (evaluation.py:69-74); its extraction and embedding
+        # are duplicates of the dst slot, so only the 2b (src‖dst) rows are
+        # embedded — the index still advances edge-exactly
         if cfg.embedding_module == "diffusion":
             index_state, q = _index_queries(
                 cfg, tppr_params, index_state, nbr_index,
                 s.src, s.dst, s.dst, s.t, s.eidx, s.valid,
             )
+            b = s.src.shape[0]
+            q = jax.tree.map(lambda x: x[:, : 2 * b], q)
         else:
             q = None
-        nodes3 = jnp.concatenate([s.src, s.dst, s.dst])
-        times3 = jnp.concatenate([s.t, s.t, s.t])
-        emb = _forward(cfg, params, mem, edge_feats, nodes3, times3, q,
+        nodes2 = jnp.concatenate([s.src, s.dst])
+        times2 = jnp.concatenate([s.t, s.t])
+        emb = _forward(cfg, params, mem, edge_feats, nodes2, times2, q,
                        nbr_index, None, train=False)
         need_emb = (cfg.use_source_embedding_in_message
                     or cfg.use_destination_embedding_in_message)
