@@ -16,6 +16,9 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
+import sys
+import threading
 import time
 
 import numpy as np
@@ -23,7 +26,44 @@ import numpy as np
 BASELINE_EVENTS_PER_S = 10_000.0
 
 
+def _probe_devices(timeout_s: float = 180.0):
+    """Fail fast when the device backend is unreachable. The tunneled TPU's
+    relay can die between sessions, in which case ``jax.devices()`` blocks
+    forever — without this guard the benchmark would hang silently instead
+    of reporting. Probed on a daemon thread because a hung backend init is
+    not interruptible in-process."""
+    result: list = []
+
+    def probe():
+        import jax
+
+        result.append([str(d) for d in jax.devices()])
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if not result:
+        print(
+            json.dumps(
+                {
+                    "metric": "train_events_per_s",
+                    "value": 0.0,
+                    "unit": "events/s",
+                    "vs_baseline": 0.0,
+                    "error": (
+                        "device backend unreachable: jax.devices() did not "
+                        f"return within {timeout_s:.0f}s (axon tunnel down?)"
+                    ),
+                }
+            )
+        )
+        # the hung init thread cannot be joined; exit hard
+        sys.stdout.flush()
+        os._exit(1)
+
+
 def main():
+    _probe_devices()
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
