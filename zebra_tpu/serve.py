@@ -41,14 +41,15 @@ from zebra_tpu.train.step import (
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _score_candidates(cfg: Config, params, mem, edge_feats, nodes2, times2,
                       q: Optional[TpprQueries], nbr_index):
-    """Eval-mode embeddings for src‖dst plus a repeated-dst negative slot —
-    reuses the training forward; returns P(link) [B]."""
+    """Eval-mode embeddings for the 2b src‖dst rows scored by the affinity
+    head; returns P(link) [B]. (The training forward's third, negative block
+    is not materialized — its embedding would be discarded.)"""
+    from zebra_tpu.models.tgn import affinity_score
+
     b = nodes2.shape[0] // 2
-    nodes3 = jnp.concatenate([nodes2, nodes2[b:]])
-    times3 = jnp.concatenate([times2, times2[b:]])
-    emb = _forward(cfg, params, mem, edge_feats, nodes3, times3, q, nbr_index,
+    emb = _forward(cfg, params, mem, edge_feats, nodes2, times2, q, nbr_index,
                    None, train=False)
-    pos_logit, _ = _scores(cfg, params, emb, b)
+    pos_logit = affinity_score(params, emb[:b], emb[b:], cfg.mxu_dtype)
     return jax.nn.sigmoid(pos_logit)
 
 
@@ -117,6 +118,8 @@ class LinkPredictor:
     def score(self, src, dst, t) -> np.ndarray:
         """P(interaction) for each (src, dst) candidate at its timestamp."""
         q = self._queries(src, dst, t)
+        if q is not None:  # drop the repeated-dst negative block
+            q = jax.tree.map(lambda x: x[:, : 2 * len(src)], q)
         nodes2 = jnp.asarray(
             np.concatenate([np.asarray(src), np.asarray(dst)]), jnp.int32
         )
