@@ -118,3 +118,33 @@ def test_wave_scan_with_pallas_interpret():
         states[use_pallas] = np.asarray(s.data)
     np.testing.assert_allclose(states[True], states[False], rtol=2e-4,
                                atol=1e-6)
+
+
+def test_rank_topk_matches_argmax():
+    """The rank-counting top-k variant (one parallel lexicographic
+    comparison) selects the identical entry sequence as the k argmax
+    rounds: the id/ts fields and norms are bit-equal; the weights agree to
+    one ulp (the two variants compile as different programs, so FMA
+    contraction in the shared scale/dedup prefix may round differently —
+    same caveat as the XLA-vs-Pallas comparison above)."""
+    for m, k, seed in ((1, 5, 3), (2, 10, 4), (2, 20, 5), (3, 7, 6)):
+        w = 16
+        params, fields3, norm_sd, src, dst, eidx, ts = _random_state_rows(
+            w, m, k, 30, seed
+        )
+        args = (fields3, norm_sd, jnp.asarray(src), jnp.asarray(dst),
+                jnp.asarray(eidx), jnp.asarray(ts), params)
+        base_f, base_n = merge_both_pallas(
+            *args, interpret=True, topk_impl="argmax"
+        )
+        rank_f, rank_n = merge_both_pallas(
+            *args, interpret=True, topk_impl="rank"
+        )
+        base_f, rank_f = np.asarray(base_f), np.asarray(rank_f)
+        # field order: w, nbr, eidx, ts — ids and timestamps are copied
+        # values, exact; weights are computed, 1-ulp tolerant
+        np.testing.assert_array_equal(rank_f[:, :, :, 1:], base_f[:, :, :, 1:])
+        np.testing.assert_allclose(
+            rank_f[:, :, :, 0], base_f[:, :, :, 0], rtol=3e-7, atol=0
+        )
+        np.testing.assert_array_equal(np.asarray(rank_n), np.asarray(base_n))

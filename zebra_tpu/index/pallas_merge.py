@@ -21,6 +21,7 @@ layout changes are free, and the kernel keeps a clean [B, lanes] shape."""
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -33,8 +34,13 @@ from zebra_tpu.index.streaming import TpprParams
 
 _BIG = 3.0e38
 
+# top-k selection variant: "argmax" (k sequential lexicographic-argmax
+# rounds) or "rank" (one parallel comparison matrix). Results agree to an
+# ulp (tested); the env var exists for on-hardware A/Bs.
+_DEFAULT_TOPK_IMPL = os.environ.get("ZEBRA_PALLAS_TOPK", "argmax")
 
-def _merge_kernel(k,
+
+def _merge_kernel(k, topk_impl,
                   s1w_ref, s1e_ref, s1n_ref, s1t_ref,
                   s2w_ref, s2e_ref, s2n_ref, s2t_ref,
                   norm1_ref, newnode_ref, eidxf_ref, ts_ref,
@@ -77,26 +83,49 @@ def _merge_kernel(k,
     cn = jnp.concatenate([s1n, s2n, new_node], axis=1)
     ct = jnp.concatenate([s1t, s2t, e_ts], axis=1)
 
-    # canonical top-k by k rounds of lexicographic argmax
-    ow_cols, oe_cols, on_cols, ot_cols = [], [], [], []
-    for _ in range(k):
-        max_w = jnp.max(cw, axis=1, keepdims=True)
-        m1 = cw == max_w
-        min_e = jnp.min(jnp.where(m1, ce, _BIG), axis=1, keepdims=True)
-        m2 = m1 & (ce == min_e)
-        min_n = jnp.min(jnp.where(m2, cn, _BIG), axis=1, keepdims=True)
-        win = m2 & (cn == min_n)
-        pick = lambda x: jnp.sum(jnp.where(win, x, 0.0), axis=1, keepdims=True)
-        ow_cols.append(pick(cw))
-        oe_cols.append(pick(ce))
-        on_cols.append(pick(cn))
-        ot_cols.append(pick(ct))
-        cw = jnp.where(win, -1.0, cw)
+    if topk_impl == "rank":
+        # canonical top-k by direct rank counting: one parallel [B, C, C]
+        # lexicographic comparison instead of k sequential argmax rounds
+        # (shorter VPU dependency chain; more raw lanes). Exact ties share a
+        # rank and collide into one output column — only all-zero padding
+        # candidates can tie (positive candidates have unique (eidx, nbr)
+        # after the dedup fold), and those columns zero out under the live
+        # mask either way, so the result is bit-identical to the argmax
+        # rounds (tested).
+        wj, wi = cw[:, :, None], cw[:, None, :]
+        ej, ei = ce[:, :, None], ce[:, None, :]
+        nj, ni = cn[:, :, None], cn[:, None, :]
+        beats = (wj > wi) | (
+            (wj == wi) & ((ej < ei) | ((ej == ei) & (nj < ni)))
+        )                                               # [B, C, C]
+        rank = jnp.sum(beats.astype(jnp.float32), axis=1)  # [B, C]
+        cols = jax.lax.broadcasted_iota(jnp.float32, (1, 1, k), 2)
+        sel = (rank[:, :, None] == cols).astype(jnp.float32)  # [B, C, k]
+        pick = lambda x: jnp.sum(x[:, :, None] * sel, axis=1)
+        ow, oe, on, ot = pick(cw), pick(ce), pick(cn), pick(ct)
+    else:
+        # canonical top-k by k rounds of lexicographic argmax
+        ow_cols, oe_cols, on_cols, ot_cols = [], [], [], []
+        for _ in range(k):
+            max_w = jnp.max(cw, axis=1, keepdims=True)
+            m1 = cw == max_w
+            min_e = jnp.min(jnp.where(m1, ce, _BIG), axis=1, keepdims=True)
+            m2 = m1 & (ce == min_e)
+            min_n = jnp.min(jnp.where(m2, cn, _BIG), axis=1, keepdims=True)
+            win = m2 & (cn == min_n)
+            pick = lambda x: jnp.sum(
+                jnp.where(win, x, 0.0), axis=1, keepdims=True
+            )
+            ow_cols.append(pick(cw))
+            oe_cols.append(pick(ce))
+            on_cols.append(pick(cn))
+            ot_cols.append(pick(ct))
+            cw = jnp.where(win, -1.0, cw)
 
-    ow = jnp.concatenate(ow_cols, axis=1)               # [B, k]
-    oe = jnp.concatenate(oe_cols, axis=1)
-    on = jnp.concatenate(on_cols, axis=1)
-    ot = jnp.concatenate(ot_cols, axis=1)
+        ow = jnp.concatenate(ow_cols, axis=1)           # [B, k]
+        oe = jnp.concatenate(oe_cols, axis=1)
+        on = jnp.concatenate(on_cols, axis=1)
+        ot = jnp.concatenate(ot_cols, axis=1)
     live = ow > 0
     z = jnp.float32(0)
     ow_ref[:] = jnp.where(live, ow, z)
@@ -106,7 +135,9 @@ def _merge_kernel(k,
     onorm_ref[:] = new_norm
 
 
-@functools.partial(jax.jit, static_argnames=("params", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("params", "interpret", "topk_impl")
+)
 def merge_both_pallas(
     fields3: jnp.ndarray,   # f32 [W, 3, M, 4, k] gathered rows (src,dst,neg)
     norm_sd: jnp.ndarray,   # f32 [W, 2, M]
@@ -116,11 +147,14 @@ def merge_both_pallas(
     e_ts: jnp.ndarray,      # f32 [W]
     params: TpprParams,
     interpret: bool = False,
+    topk_impl: str = None,  # "argmax" | "rank"; None → module default
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in batched replacement for vmap(_merge_both): returns
     (new fields [W, 2, M, 4, k], new norms [W, 2, M])."""
     from zebra_tpu.index.streaming import _W, _NBR, _EIDX, _TS
 
+    if topk_impl is None:
+        topk_impl = _DEFAULT_TOPK_IMPL
     m, k = len(params.alpha), params.k
     w = fields3.shape[0]
     b = 2 * m * w
@@ -152,7 +186,7 @@ def merge_both_pallas(
     out_shape = [jax.ShapeDtypeStruct((b, k), jnp.float32)] * 4 + [
         jax.ShapeDtypeStruct((b, 1), jnp.float32)
     ]
-    kernel = functools.partial(_merge_kernel, k)
+    kernel = functools.partial(_merge_kernel, k, topk_impl)
     ow, oe, on, ot, onorm = pl.pallas_call(
         kernel,
         out_shape=out_shape,
