@@ -106,7 +106,8 @@ def run_reference(workdir: str, name: str, hp: dict) -> dict:
         sys.executable, os.path.join(REPO, "scripts", "run_reference.py"),
         "-d", name, "--bs", str(hp["bs"]), "--n_epoch", str(hp["n_epoch"]),
         "--lr", str(hp["lr"]), "--patience", str(hp["patience"]),
-        "--tppr_strategy", "streaming", "--topk", str(hp["topk"]),
+        "--tppr_strategy", hp["strategy"], "--topk", str(hp["topk"]),
+        "--n_degree", str(hp["n_degree"]), "--n_layer", str(hp["n_layer"]),
         "--alpha_list", *map(str, hp["alpha"]),
         "--beta_list", *map(str, hp["beta"]),
         "--node_dim", str(hp["dim"]), "--time_dim", str(hp["dim"]),
@@ -129,7 +130,8 @@ def run_zebra(workdir: str, name: str, hp: dict, tag: str = "base",
         "-d", name, "--data_dir", os.path.join(workdir, "data"),
         "--bs", str(hp["bs"]), "--n_epoch", str(hp["n_epoch"]),
         "--lr", str(hp["lr"]), "--patience", str(hp["patience"]),
-        "--tppr_strategy", "streaming", "--topk", str(hp["topk"]),
+        "--tppr_strategy", hp["strategy"], "--topk", str(hp["topk"]),
+        "--n_degree", str(hp["n_degree"]), "--n_layer", str(hp["n_layer"]),
         "--alpha_list", *map(str, hp["alpha"]),
         "--beta_list", *map(str, hp["beta"]),
         "--node_dim", str(hp["dim"]), "--time_dim", str(hp["dim"]),
@@ -156,6 +158,12 @@ def main():
     ap.add_argument("--alpha", type=float, nargs="+", default=[0.1, 0.1])
     ap.add_argument("--beta", type=float, nargs="+", default=[0.05, 0.95])
     ap.add_argument("--patience", type=int, default=50)
+    ap.add_argument("--strategy", default="streaming",
+                    choices=("streaming", "pruning"))
+    ap.add_argument("--n_degree", type=int, default=10,
+                    help="pruning query width per hop")
+    ap.add_argument("--n_layer", type=int, default=2,
+                    help="pruning query depth")
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--tol", type=float, default=0.02,
                     help="max |Δ test AP| vs reference before exit 1")
@@ -165,7 +173,8 @@ def main():
 
     hp = dict(bs=args.bs, n_epoch=args.n_epoch, lr=args.lr, dim=args.dim,
               topk=args.topk, alpha=args.alpha, beta=args.beta,
-              patience=args.patience)
+              patience=args.patience, strategy=args.strategy,
+              n_degree=args.n_degree, n_layer=args.n_layer)
     name = "parity"
     os.makedirs(args.workdir, exist_ok=True)
     make_dataset(args.workdir, name, args.n_events, args.seed)
@@ -182,7 +191,8 @@ def main():
 
     ref = results["reference"]
     print(f"\n== parity @ n_events={args.n_events}, n_epoch={args.n_epoch}, "
-          f"dims={args.dim}, M={len(args.alpha)}, k={args.topk} ==")
+          f"dims={args.dim}, M={len(args.alpha)}, k={args.topk}, "
+          f"strategy={args.strategy} ==")
     hdr = f"{'impl':26s} {'val AP by epoch':38s} {'test AP':>8s} {'nn test':>8s}"
     print(hdr)
     worst = 0.0
