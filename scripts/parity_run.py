@@ -112,6 +112,7 @@ def run_reference(workdir: str, name: str, hp: dict) -> dict:
         "--beta_list", *map(str, hp["beta"]),
         "--node_dim", str(hp["dim"]), "--time_dim", str(hp["dim"]),
         "--memory_dim", str(hp["dim"]),
+        *hp.get("flags", ()),
     ]
     print("[parity] reference:", " ".join(cmd), flush=True)
     subprocess.run(cmd, cwd=run_dir, env=env, check=True,
@@ -138,6 +139,7 @@ def run_zebra(workdir: str, name: str, hp: dict, tag: str = "base",
         "--memory_dim", str(hp["dim"]),
         "--log_dir", os.path.join(run_dir, "log"),
         "--checkpoint_dir", os.path.join(run_dir, "ckpt"),
+        *hp.get("flags", ()),
         *extra,
     ]
     print(f"[parity] zebra_tpu[{tag}]:", " ".join(cmd), flush=True)
@@ -169,12 +171,23 @@ def main():
                     help="max |Δ test AP| vs reference before exit 1")
     ap.add_argument("--ab", action="store_true",
                     help="also sweep message_dtype / prng_impl variants")
+    ap.add_argument("--flags", default="",
+                    help="comma-separated extra flag names passed to BOTH "
+                         "sides with '--' prepended (reference-compatible "
+                         "names; name=value for valued flags, e.g. "
+                         "--flags memory_updater=rnn)")
     args = ap.parse_args()
 
     hp = dict(bs=args.bs, n_epoch=args.n_epoch, lr=args.lr, dim=args.dim,
               topk=args.topk, alpha=args.alpha, beta=args.beta,
               patience=args.patience, strategy=args.strategy,
-              n_degree=args.n_degree, n_layer=args.n_layer)
+              n_degree=args.n_degree, n_layer=args.n_layer,
+              flags=tuple(
+                  t
+                  for f in args.flags.split(",") if f
+                  for t in ("--" + f.split("=", 1)[0],
+                            *f.split("=", 1)[1:])
+              ))
     name = "parity"
     os.makedirs(args.workdir, exist_ok=True)
     make_dataset(args.workdir, name, args.n_events, args.seed)
