@@ -53,7 +53,7 @@ TEST_RE = re.compile(
 
 
 def make_dataset(workdir: str, name: str, n_events: int, seed: int,
-                 edge_dim: int = 32) -> str:
+                 edge_dim: int = 32, write_feats: bool = True) -> str:
     sys.path.insert(0, REPO)
     import pandas as pd
 
@@ -69,7 +69,8 @@ def make_dataset(workdir: str, name: str, n_events: int, seed: int,
         "u": data.sources, "i": data.destinations, "ts": data.timestamps,
         "label": data.labels, "idx": data.edge_idxs,
     }).to_csv(os.path.join(ddir, f"ml_{name}.csv"), index=False)
-    np.save(os.path.join(ddir, f"ml_{name}.npy"), ef)
+    if write_feats:
+        np.save(os.path.join(ddir, f"ml_{name}.npy"), ef)
     return os.path.join(workdir, "data")
 
 
@@ -171,6 +172,9 @@ def main():
                     help="max |Δ test AP| vs reference before exit 1")
     ap.add_argument("--ab", action="store_true",
                     help="also sweep message_dtype / prng_impl variants")
+    ap.add_argument("--no_edge_feats", action="store_true",
+                    help="write no ml_*.npy (SNAP-style dataset: both sides "
+                         "fall back to zero edge features)")
     ap.add_argument("--flags", default="",
                     help="comma-separated extra flag names passed to BOTH "
                          "sides with '--' prepended (reference-compatible "
@@ -190,7 +194,8 @@ def main():
               ))
     name = "parity"
     os.makedirs(args.workdir, exist_ok=True)
-    make_dataset(args.workdir, name, args.n_events, args.seed)
+    make_dataset(args.workdir, name, args.n_events, args.seed,
+                 write_feats=not args.no_edge_feats)
 
     results = {"reference": run_reference(args.workdir, name, hp)}
     results["zebra(default bf16/rbg)"] = run_zebra(args.workdir, name, hp)
