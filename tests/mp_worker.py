@@ -88,10 +88,13 @@ def build_inputs():
         np.asarray(edge_feats, np.float32)
 
 
-def run_phase_on_mesh(mesh):
+def run_phase_on_mesh(mesh, ckpt_path=None):
     """Shard the deterministic inputs over ``mesh``, run one fused training
     phase, and return (metrics, final memory table, final index table) as
-    host numpy (allgathered when shards span processes)."""
+    host numpy (allgathered when shards span processes). ``ckpt_path``
+    additionally saves {mem, index} through the checkpoint layer — in a
+    multi-process run that exercises its collective gather + process-0
+    write."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -126,6 +129,11 @@ def run_phase_on_mesh(mesh):
     )
     jax.block_until_ready(metrics)
 
+    if ckpt_path is not None:
+        from zebra_tpu.train.checkpoint import save_checkpoint
+
+        save_checkpoint(ckpt_path, {"mem": mem, "index": index})
+
     from jax.experimental import multihost_utils
 
     def host(x):
@@ -148,7 +156,7 @@ def main():
     from jax.sharding import Mesh
 
     mesh = Mesh(np.array(jax.devices()), ("data",))
-    ms, mem_tbl, idx_tbl = run_phase_on_mesh(mesh)
+    ms, mem_tbl, idx_tbl = run_phase_on_mesh(mesh, ckpt_path=out + ".ckpt")
     np.savez(out, mem=mem_tbl, index=idx_tbl, **ms)
     print(f"worker {pid}: ok over {len(jax.devices())} global devices",
           flush=True)

@@ -46,6 +46,15 @@ def test_two_process_matches_single_process(tmp_path):
     for key in w0.files:
         np.testing.assert_array_equal(w0[key], w1[key], err_msg=key)
 
+    # the checkpoint layer gathered the row-sharded tables collectively and
+    # process 0 (only) wrote the full global state
+    from zebra_tpu.train.checkpoint import load_checkpoint
+
+    ckpt = load_checkpoint(outs[0] + ".ckpt")
+    np.testing.assert_array_equal(ckpt["mem"].memory, w0["mem"])
+    np.testing.assert_array_equal(ckpt["index"].data, w0["index"])
+    assert not os.path.exists(outs[1] + ".ckpt")
+
     # single-process baseline over the same total device count (conftest
     # forces 8 virtual CPU devices here)
     import jax

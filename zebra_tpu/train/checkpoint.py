@@ -28,8 +28,23 @@ MAGIC = "zebra_tpu_checkpoint"
 VERSION = 4
 
 
+def _to_host(x: Any) -> np.ndarray:
+    """Device → host. In a multi-process run, row-sharded node tables are not
+    fully addressable from any one process; gather them collectively (every
+    process must therefore reach save_checkpoint — it is a collective there,
+    like the phases themselves)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def save_checkpoint(path: str, tree: Any) -> None:
-    host_tree = jax.tree.map(np.asarray, tree)
+    """Write the checkpoint (all processes gather; process 0 writes)."""
+    host_tree = jax.tree.map(_to_host, tree)
+    if jax.process_index() != 0:
+        return
     payload = {"magic": MAGIC, "version": VERSION, "tree": host_tree}
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
