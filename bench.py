@@ -33,16 +33,26 @@ def _probe_devices(timeout_s: float = 180.0):
     of reporting. Probed on a daemon thread because a hung backend init is
     not interruptible in-process."""
     result: list = []
+    error: list = []
 
     def probe():
-        import jax
+        try:
+            import jax
 
-        result.append([str(d) for d in jax.devices()])
+            result.append([str(d) for d in jax.devices()])
+        except Exception as e:  # init failed fast rather than hanging
+            error.append(f"{type(e).__name__}: {e}")
 
     th = threading.Thread(target=probe, daemon=True)
     th.start()
     th.join(timeout_s)
     if not result:
+        msg = (
+            f"device backend init failed: {error[0]}"
+            if error
+            else "device backend unreachable: jax.devices() did not return "
+            f"within {timeout_s:.0f}s (axon tunnel down?)"
+        )
         print(
             json.dumps(
                 {
@@ -50,14 +60,11 @@ def _probe_devices(timeout_s: float = 180.0):
                     "value": 0.0,
                     "unit": "events/s",
                     "vs_baseline": 0.0,
-                    "error": (
-                        "device backend unreachable: jax.devices() did not "
-                        f"return within {timeout_s:.0f}s (axon tunnel down?)"
-                    ),
+                    "error": msg,
                 }
             )
         )
-        # the hung init thread cannot be joined; exit hard
+        # a hung init thread cannot be joined; exit hard
         sys.stdout.flush()
         os._exit(1)
 

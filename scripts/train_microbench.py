@@ -27,6 +27,24 @@ def main():
     from zebra_tpu.data.synthetic import synthetic_stream
     from zebra_tpu.train.loop import Trainer
 
+    def convert(default, v: str):
+        """Parse an override against the field's default: bools accept
+        true/false/1/0 (bool('false') is True — the one-liner
+        type(default)(v) silently inverted 'off' A/B arms), sequences split
+        on commas, None-defaulted fields stay strings."""
+        if isinstance(default, bool):
+            if v.lower() in ("1", "true", "yes", "on"):
+                return True
+            if v.lower() in ("0", "false", "no", "off"):
+                return False
+            raise ValueError(f"boolean override needs true/false, got {v!r}")
+        if isinstance(default, (tuple, list)):
+            elem = type(default[0]) if len(default) else float
+            return tuple(elem(x) for x in v.split(","))
+        if default is None:
+            return v
+        return type(default)(v)
+
     overrides = {}
     n_epochs = 5
     for arg in sys.argv[1:]:
@@ -35,7 +53,7 @@ def main():
             n_epochs = int(v)
             continue
         field = Config.__dataclass_fields__[k]
-        overrides[k] = type(field.default)(v)
+        overrides[k] = convert(field.default, v)
 
     data, edge_feats = synthetic_stream(
         n_events=120_000, n_users=20_000, n_items=20_000, edge_dim=172,

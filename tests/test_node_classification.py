@@ -54,3 +54,19 @@ def test_decoder_shapes():
     x = jnp.zeros((7, 24))
     out = decoder_apply(p, x, train=False)
     assert out.shape == (7,)
+
+
+def test_collect_non_diffusion_tower():
+    """Collection must also run for the recursive/identity towers (q is None
+    there — guards the batch-size binding regression)."""
+    trainer = _make_trainer("streaming", n_events=400,
+                            embedding_module="identity")
+    trainer.train_epoch()
+    cfg = trainer.cfg
+    stream, n_batches, _, _ = trainer._streams["train"]
+    _, _, embs = collect_source_embeddings(
+        cfg, n_batches, trainer.params,
+        jax.tree.map(jnp.copy, trainer.mem), (),
+        trainer.edge_feats, trainer.train_nbr_index, stream,
+    )
+    assert np.isfinite(np.asarray(embs)).all()

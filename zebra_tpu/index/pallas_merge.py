@@ -155,6 +155,11 @@ def merge_both_pallas(
 
     if topk_impl is None:
         topk_impl = _DEFAULT_TOPK_IMPL
+    if topk_impl not in ("argmax", "rank"):
+        raise ValueError(
+            f"topk_impl must be 'argmax' or 'rank', got {topk_impl!r} "
+            "(check ZEBRA_PALLAS_TOPK)"
+        )
     m, k = len(params.alpha), params.k
     w = fields3.shape[0]
     b = 2 * m * w

@@ -33,7 +33,6 @@ from zebra_tpu.models.memory import MemoryState
 from zebra_tpu.train.step import (
     _commit_pending,
     _forward,
-    _scores,
     _store_messages,
 )
 
@@ -75,51 +74,47 @@ class LinkPredictor:
             trainer.full_nbr_index,
         )
 
-    def _queries(self, src, dst, t):
-        """Read-only T-PPR top-k for src‖dst‖dst at the query times."""
+    def _queries(self, src, dst, t, with_neg: bool = True):
+        """Read-only T-PPR top-k at the query times: src‖dst‖dst blocks when
+        ``with_neg`` (the training layout, for observe()), src‖dst for plain
+        scoring — the repeated-dst negative block would only be discarded."""
         if self.cfg.embedding_module != "diffusion":
             return None
         b = len(src)
+        cols = [np.asarray(src, np.int32), np.asarray(dst, np.int32)]
+        if with_neg:
+            cols.append(np.asarray(dst, np.int32))
+        n_blocks = len(cols)
         if self.cfg.tppr_strategy == "pruning":
             from zebra_tpu.index.pruning import pruned_topk
 
-            nodes3 = np.concatenate(
-                [np.asarray(src), np.asarray(dst), np.asarray(dst)]
-            ).astype(np.int32)
-            times3 = np.tile(np.asarray(t, np.float32), 3)
             return pruned_topk(
                 self.nbr_index,
                 jnp.asarray(self.cfg.alpha_list, jnp.float32),
                 jnp.asarray(self.cfg.beta_list, jnp.float32),
-                jnp.asarray(nodes3), jnp.asarray(times3),
+                jnp.asarray(np.concatenate(cols)),
+                jnp.asarray(np.tile(np.asarray(t, np.float32), n_blocks)),
                 self.cfg.n_degree, self.cfg.n_layer, self.cfg.topk,
             )
         # streaming: read-only row gather — no state copy, no scan, O(batch)
         # allocation (reference extract_streaming_tppr, util.py:447-469)
-        nodes3 = jnp.stack(
-            [
-                jnp.asarray(np.asarray(src, np.int32)),
-                jnp.asarray(np.asarray(dst, np.int32)),
-                jnp.asarray(np.asarray(dst, np.int32)),
-            ],
-            axis=1,
-        )
+        nodes = jnp.stack([jnp.asarray(c) for c in cols], axis=1)
         q = read_topk(
-            self.index_state, nodes3, jnp.asarray(np.asarray(t, np.float32)),
+            self.index_state, nodes, jnp.asarray(np.asarray(t, np.float32)),
             self.cfg.n_tppr, self.cfg.topk,
         )
         return TpprQueries(
             *(
-                x.transpose(1, 2, 0, 3).reshape(x.shape[1], 3 * b, x.shape[3])
+                x.transpose(1, 2, 0, 3).reshape(
+                    x.shape[1], n_blocks * b, x.shape[3]
+                )
                 for x in q
             )
         )
 
     def score(self, src, dst, t) -> np.ndarray:
         """P(interaction) for each (src, dst) candidate at its timestamp."""
-        q = self._queries(src, dst, t)
-        if q is not None:  # drop the repeated-dst negative block
-            q = jax.tree.map(lambda x: x[:, : 2 * len(src)], q)
+        q = self._queries(src, dst, t, with_neg=False)
         nodes2 = jnp.asarray(
             np.concatenate([np.asarray(src), np.asarray(dst)]), jnp.int32
         )

@@ -52,6 +52,7 @@ def collect_source_embeddings(
 
     def body(carry, s: Stream):
         mem, index_state = carry
+        b = s.src.shape[0]
         # the reference's node-classification call passes destinations in the
         # negative slot (evaluation.py:69-74); its extraction and embedding
         # are duplicates of the dst slot, so only the 2b (src‖dst) rows are
@@ -61,7 +62,6 @@ def collect_source_embeddings(
                 cfg, tppr_params, index_state, nbr_index,
                 s.src, s.dst, s.dst, s.t, s.eidx, s.valid,
             )
-            b = s.src.shape[0]
             q = jax.tree.map(lambda x: x[:, : 2 * b], q)
         else:
             q = None
