@@ -99,7 +99,11 @@ def _merge_kernel(k, topk_impl,
             (wj == wi) & ((ej < ei) | ((ej == ei) & (nj < ni)))
         )                                               # [B, C, C]
         rank = jnp.sum(beats.astype(jnp.float32), axis=1)  # [B, C]
-        cols = jax.lax.broadcasted_iota(jnp.float32, (1, 1, k), 2)
+        # iota must be generated integral: Mosaic rejects 'tpu.iota' with a
+        # float result type (verified on a v5e backend); convert after.
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, k), 2).astype(
+            jnp.float32
+        )
         sel = (rank[:, :, None] == cols).astype(jnp.float32)  # [B, C, k]
         pick = lambda x: jnp.sum(x[:, :, None] * sel, axis=1)
         ow, oe, on, ot = pick(cw), pick(ce), pick(cn), pick(ct)

@@ -71,5 +71,12 @@ def resolve_compiler_options() -> Optional[Dict[str, str]]:
     import jax
 
     if jax.default_backend() == "tpu":
-        return dict(TPU_DEFAULT_OPTIONS)
+        opts = dict(TPU_DEFAULT_OPTIONS)
+        # the rank-counting Pallas top-k materializes [B, C, C] comparison
+        # buffers that overflow the default 16M scoped-VMEM stack (measured:
+        # 22.94M at the bench config); it is selected by the same env var,
+        # so its requirement rides along automatically
+        if os.environ.get("ZEBRA_PALLAS_TOPK", "argmax") == "rank":
+            opts["xla_tpu_scoped_vmem_limit_kib"] = "65536"
+        return opts
     return None
