@@ -151,9 +151,18 @@ def message_input(cfg: Config, params: TgnParams, mem_state, ids,
     if cfg.aggregator == "mean":
         cnt = g(mem_state.msg_count)
         raw = raw.astype(jnp.float32) / jnp.maximum(cnt, 1.0)[..., None]
+    if cfg.compact_messages and self_rows is None:
+        self_rows = g(mem_state.memory)
+    return message_cell_input(cfg, params, raw, self_rows), flag
+
+
+def message_cell_input(cfg: Config, params: TgnParams, raw, self_rows):
+    """The tail of :func:`message_input` shared with the fused eval
+    store+commit (train/step.py:eval_store_commit, which builds ``raw``
+    directly instead of round-tripping it through the message table):
+    re-attach the sender part under the compact layout, then the optional
+    MLP message function."""
     if cfg.compact_messages:
-        if self_rows is None:
-            self_rows = g(mem_state.memory)
         dt = jnp.promote_types(self_rows.dtype, raw.dtype)
         raw = jnp.concatenate(
             [self_rows.astype(dt), raw.astype(dt)], axis=-1
@@ -161,7 +170,7 @@ def message_input(cfg: Config, params: TgnParams, mem_state, ids,
     if cfg.message_function == "mlp":
         hidden = jax.nn.relu(_linear(params["msg_fc1"], raw.astype(jnp.float32)))
         raw = _linear(params["msg_fc2"], hidden)
-    return raw, flag
+    return raw
 
 
 def diffusion_static_input(cfg: Config, edge_feats, eidx, dt) -> jnp.ndarray:

@@ -40,6 +40,7 @@ from zebra_tpu.train.step import (
     _masked_mean,
     _scores,
     _store_messages,
+    eval_store_commit,
     make_lazy_plan,
     make_optimizer,
 )
@@ -209,12 +210,20 @@ def _run_phase(
             src_emb, dst_emb = (
                 (emb[:b], emb[b : 2 * b]) if need_emb else (None, None)
             )
-            # eval: store first, commit immediately (tgn_model.py:159-172)
-            mem = _store_messages(
-                cfg, params, mem, edge_feats, s.src, s.dst, s.t, s.eidx,
-                s.valid, src_emb, dst_emb,
-            )
-            mem = _commit_pending(cfg, params, mem, positives, valid2)
+            # eval: store first, commit immediately (tgn_model.py:159-172);
+            # fused for the last-aggregator (skips the message-table round
+            # trip — bit-identical, see step.py:eval_store_commit)
+            if cfg.aggregator == "last":
+                mem = eval_store_commit(
+                    cfg, params, mem, edge_feats, s.src, s.dst, s.t,
+                    s.eidx, s.valid, src_emb, dst_emb,
+                )
+            else:
+                mem = _store_messages(
+                    cfg, params, mem, edge_feats, s.src, s.dst, s.t, s.eidx,
+                    s.valid, src_emb, dst_emb,
+                )
+                mem = _commit_pending(cfg, params, mem, positives, valid2)
 
         from zebra_tpu.ops.metrics import masked_ap, masked_auc, masked_rank_acc
 

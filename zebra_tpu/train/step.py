@@ -50,6 +50,7 @@ from zebra_tpu.models.tgn import (
     cell_apply,
     diffusion_embed,
     diffusion_static_input,
+    message_cell_input,
     message_input,
 )
 from zebra_tpu.models.time_encoding import time_basis, time_encode
@@ -350,17 +351,12 @@ def _commit_pending(cfg, params, mem: MemoryState, positives, valid2):
     )
 
 
-def _store_messages(cfg, params, mem: MemoryState, edge_feats, src, dst, t, eidx, valid,
-                    src_emb=None, dst_emb=None):
-    """Collect this batch's raw messages, both directions, keeping only the
-    chronologically last message per sender (reference tgn_model.py:204-226
-    with the flip/unique dedup at :206-211), and overwrite the pending slots.
-
-    With cfg.use_source/destination_embedding_in_message the corresponding
-    message part is the batch's node *embedding* instead of the memory row
-    (reference tgn_model.py:217-218 with the concat layout of :160-164):
-    ``src_emb``/``dst_emb`` are the [b, H] embeddings of this batch's
-    src/dst query rows, positionally aligned with the events."""
+def _build_messages(cfg, mem: MemoryState, edge_feats, src, dst, t, eidx,
+                    valid, src_emb, dst_emb):
+    """This batch's raw-message content in the STORED layout (no flag
+    column), both directions, plus the sender/time vectors and the
+    last-per-sender winner mask. Shared by :func:`_store_messages` and the
+    fused :func:`eval_store_commit`."""
     n = mem.memory.shape[0]
     snd = jnp.concatenate([src, dst])
     rcv = jnp.concatenate([dst, src])
@@ -400,6 +396,24 @@ def _store_messages(cfg, params, mem: MemoryState, edge_feats, src, dst, t, eidx
         ],
         axis=-1,
     )
+    return snd, t2, valid2, keep, msg
+
+
+def _store_messages(cfg, params, mem: MemoryState, edge_feats, src, dst, t, eidx, valid,
+                    src_emb=None, dst_emb=None):
+    """Collect this batch's raw messages, both directions, keeping only the
+    chronologically last message per sender (reference tgn_model.py:204-226
+    with the flip/unique dedup at :206-211), and overwrite the pending slots.
+
+    With cfg.use_source/destination_embedding_in_message the corresponding
+    message part is the batch's node *embedding* instead of the memory row
+    (reference tgn_model.py:217-218 with the concat layout of :160-164):
+    ``src_emb``/``dst_emb`` are the [b, H] embeddings of this batch's
+    src/dst query rows, positionally aligned with the events."""
+    n = mem.memory.shape[0]
+    snd, t2, valid2, keep, msg = _build_messages(
+        cfg, mem, edge_feats, src, dst, t, eidx, valid, src_emb, dst_emb
+    )
     # append the pending-flag column (models/memory.py layout): 1.0 per
     # stored/accumulated message
     one = jnp.ones((msg.shape[0], 1), msg.dtype)
@@ -424,6 +438,48 @@ def _store_messages(cfg, params, mem: MemoryState, edge_feats, src, dst, t, eidx
         messages=mem.messages.at[idx].set(msg, mode="drop"),
         msg_ts=mem.msg_ts.at[idx].set(t2, mode="drop"),
         msg_count=mem.msg_count.at[idx].set(1.0, mode="drop"),
+    )
+
+
+def eval_store_commit(cfg, params, mem: MemoryState, edge_feats, src, dst,
+                      t, eidx, valid, src_emb=None, dst_emb=None):
+    """Fused eval-batch store+commit for the ``last`` aggregator: the batch's
+    messages are committed straight into memory without the [N, msg]-table
+    round trip.
+
+    The reference eval protocol stores this batch's messages and immediately
+    consumes them (tgn_model.py:159-172), and with last-wins semantics every
+    committed positive IS a sender of this same batch — so the committed cell
+    input is exactly this batch's winner message. The two-step path writes
+    the [2b, msg] block into the table, gathers it back, then zeroes it;
+    here only the zeroing scatter remains (pre-existing pending rows of this
+    batch's senders are destroyed either way: store overwrites them).
+    Bit-identical to ``_store_messages`` + ``_commit_pending``: the message
+    still round-trips through ``messages.dtype`` (bf16 by default) before
+    feeding the cell, and losers of a duplicated sender simply don't scatter
+    (the two-step path writes them the winner's value redundantly).
+
+    ``mean`` aggregation accumulates across pre-existing pending rows, so it
+    keeps the two-step path (train/phase.py)."""
+    assert cfg.aggregator == "last"
+    n = mem.memory.shape[0]
+    snd, t2, valid2, keep, msg = _build_messages(
+        cfg, mem, edge_feats, src, dst, t, eidx, valid, src_emb, dst_emb
+    )
+    rows = mem.memory[snd]
+    # simulate the table round trip's quantization, then the commit-side
+    # cell-input assembly (models/tgn.py:message_input tail)
+    raw = msg.astype(mem.messages.dtype)
+    cell_in = message_cell_input(cfg, params, raw, rows)
+    upd = cell_apply(cfg, params, cell_in, rows).astype(mem.memory.dtype)
+    idx_w = jnp.where(keep, snd, n)     # winners write memory/last_update
+    idx_v = jnp.where(valid2, snd, n)   # all valid senders' rows are cleared
+    return mem._replace(
+        memory=mem.memory.at[idx_w].set(upd, mode="drop"),
+        last_update=mem.last_update.at[idx_w].set(t2, mode="drop"),
+        messages=mem.messages.at[idx_v].set(0.0, mode="drop"),
+        msg_count=mem.msg_count.at[idx_v].set(0.0, mode="drop"),
+        msg_ts=mem.msg_ts.at[idx_w].set(t2, mode="drop"),
     )
 
 
