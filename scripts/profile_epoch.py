@@ -1,0 +1,98 @@
+"""Capture a device profile of one bench-scale train epoch and print the
+op-level time breakdown (the re-profiling harness behind NOTES.md's tower
+budget numbers).
+
+    python scripts/profile_epoch.py               # trace + top-30 ops
+    python scripts/profile_epoch.py logdir=/tmp/p  top=50
+
+Parses the .xplane.pb directly (TensorFlow's xplane proto ships in the
+container); aggregates self-time by event name on the TPU device plane.
+"""
+import glob
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def capture(logdir):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from zebra_tpu.config import Config
+    from zebra_tpu.data.dataset import split_data
+    from zebra_tpu.data.synthetic import synthetic_stream
+    from zebra_tpu.train.loop import Trainer
+
+    data, edge_feats = synthetic_stream(
+        n_events=120_000, n_users=20_000, n_items=20_000, edge_dim=172,
+        seed=0,
+    )
+    splits = split_data(
+        data.sources, data.destinations, data.timestamps, data.edge_idxs,
+        data.labels,
+    )
+    cfg = Config(
+        data="bench", bs=200, node_dim=100, time_dim=100, memory_dim=100,
+        topk=20, alpha_list=(0.1, 0.1), beta_list=(0.05, 0.95),
+        tppr_strategy="streaming", checkpoint_dir="/tmp/zebra_bench_ckpt",
+    )
+    trainer = Trainer(cfg, splits, edge_feats)
+    trainer.train_epoch()  # warm
+    t0 = time.time()
+    with jax.profiler.trace(logdir):
+        trainer.train_epoch()
+        jax.block_until_ready(trainer.params)
+    print(f"traced epoch: {time.time() - t0:.3f}s "
+          f"({splits.train.n_interactions / (time.time() - t0):.0f} ev/s)")
+
+
+def report(logdir, top):
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                      recursive=True)
+    assert paths, f"no xplane.pb under {logdir}"
+    xspace = xplane_pb2.XSpace()
+    with open(max(paths, key=os.path.getmtime), "rb") as f:
+        xspace.ParseFromString(f.read())
+
+    for plane in xspace.planes:
+        if "TPU" not in plane.name and "Device" not in plane.name:
+            continue
+        meta = {m.id: m.name for m in plane.event_metadata.values()}
+        # per-line totals; XLA op lines nest, so take the busiest line
+        lines = []
+        for line in plane.lines:
+            agg = {}
+            for ev in line.events:
+                name = meta.get(ev.metadata_id, "?")
+                agg[name] = agg.get(name, 0) + ev.duration_ps
+            total = sum(agg.values())
+            lines.append((total, line.name, agg))
+        if not lines:
+            continue
+        total, lname, agg = max(lines)
+        print(f"\n== plane {plane.name!r} line {lname!r} "
+              f"busy {total / 1e12:.3f}s ==")
+        for name, ps in sorted(agg.items(), key=lambda kv: -kv[1])[:top]:
+            print(f"  {ps / 1e9:10.1f}ms  {100 * ps / total:5.1f}%  {name[:110]}")
+
+
+def main():
+    logdir, top = "/tmp/zebra_prof", 30
+    for arg in sys.argv[1:]:
+        k, v = arg.split("=", 1)
+        if k == "logdir":
+            logdir = v
+        elif k == "top":
+            top = int(v)
+    capture(logdir)
+    report(logdir, top)
+
+
+if __name__ == "__main__":
+    main()

@@ -552,7 +552,12 @@ class Trainer:
         # cap; snapshot the (small) trainable state so an overflowed epoch
         # can be rerun bit-correctly on the per-position program
         snapshot = None
-        if start_chunk == 0 and max_chunks is None and not self._lazy_fallback:
+        if (
+            start_chunk == 0
+            and max_chunks is None
+            and not self._lazy_fallback
+            and self._lazy_compaction_active()
+        ):
             snapshot = (_copy(self.params), _copy(self.opt_state))
         if start_chunk == 0:
             self._reset_epoch_state()
@@ -592,6 +597,20 @@ class Trainer:
             self._epoch_negs = None
             self._epoch_id += 1
         return result
+
+    def _lazy_compaction_active(self) -> bool:
+        """Whether the train forward uses the compacted lazy-update path —
+        only then can a batch overflow the cap and need the snapshot rerun
+        (train/step.py:make_lazy_plan). Per-position mode (the default,
+        lazy_unique_cap=0) never overflows; skipping the snapshot saves the
+        per-epoch params/opt-state copy dispatches."""
+        cfg = self.cfg
+        if cfg.embedding_module != "diffusion":
+            return False
+        from zebra_tpu.train.step import resolve_lazy_cap
+
+        n_positions = cfg.n_tppr * 3 * cfg.bs * cfg.topk
+        return resolve_lazy_cap(cfg, n_positions) > 0
 
     def _reset_epoch_state(self):
         """Zeroed memory + empty index, sharded when a mesh is active."""
@@ -848,9 +867,16 @@ def _fresh_epoch_state(cfg: Config):
     return mem, index
 
 
+@jax.jit
+def _copy_impl(tree):
+    return jax.tree.map(jnp.copy, tree)
+
+
 def _copy(tree):
     """Deep-copy a device pytree (the fused phases donate their state inputs,
-    so retained snapshots must not alias them)."""
+    so retained snapshots must not alias them). One fused dispatch per tree:
+    per-leaf jnp.copy cost a tunneled host round trip per array (the r2
+    device profile showed ~58 near-empty jit_copy executions per epoch)."""
     if tree is None or tree == ():
         return tree
-    return jax.tree.map(jnp.copy, tree)
+    return _copy_impl(tree)
