@@ -32,6 +32,7 @@ from zebra_tpu.index.streaming import (
 from zebra_tpu.models.memory import MemoryState
 from zebra_tpu.train.step import (
     _commit_pending,
+    eval_store_commit,
     _forward,
     _store_messages,
 )
@@ -174,6 +175,11 @@ class LinkPredictor:
 def _observe_mem(cfg, params, mem, edge_feats, src, dst, t, eidx,
                  src_emb=None, dst_emb=None):
     valid = jnp.ones(src.shape[0], bool)
+    if cfg.aggregator == "last":
+        # fused store+commit — skips the [N,msg]-table round trip,
+        # bit-identical (train/step.py:eval_store_commit)
+        return eval_store_commit(cfg, params, mem, edge_feats, src, dst, t,
+                                 eidx, valid, src_emb, dst_emb)
     mem = _store_messages(cfg, params, mem, edge_feats, src, dst, t, eidx,
                           valid, src_emb, dst_emb)
     positives = jnp.concatenate([src, dst])
