@@ -36,9 +36,17 @@ def main():
     )
     trainer = Trainer(cfg, splits, edge_feats)
     trainer.train_epoch()          # warm state + compiles
+    # every iteration must start from the same train-end state: validate()
+    # itself leaves (mem, index) at val-end, which would make iteration 1
+    # time differently from later ones
+    from zebra_tpu.train.loop import _copy
+
+    mem0, idx0 = _copy(trainer.mem), _copy(trainer.index_state)
     trainer.validate()             # compile the eval phase
     n_val = splits.val.n_interactions + splits.new_node_val.n_interactions
     for _ in range(4):
+        trainer.mem, trainer.index_state = _copy(mem0), _copy(idx0)
+        jax.block_until_ready(trainer.mem)
         t0 = time.time()
         trans, induct = trainer.validate()
         dt = time.time() - t0

@@ -75,9 +75,11 @@ def report(logdir, top):
             lines.append((total, line.name, agg))
         if not lines:
             continue
-        total, lname, agg = max(lines)
+        total, lname, agg = max(lines, key=lambda x: x[0])
         print(f"\n== plane {plane.name!r} line {lname!r} "
               f"busy {total / 1e12:.3f}s ==")
+        if not total:
+            continue
         for name, ps in sorted(agg.items(), key=lambda kv: -kv[1])[:top]:
             print(f"  {ps / 1e9:10.1f}ms  {100 * ps / total:5.1f}%  {name[:110]}")
 
