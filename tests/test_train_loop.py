@@ -206,3 +206,28 @@ def test_lazy_dedup_matches_per_position():
         got = np.array(results[name])
         np.testing.assert_allclose(got, off, rtol=2e-4, atol=2e-5,
                                    err_msg=name)
+
+
+def test_fused_chunk_matches_two_dispatch():
+    """The fused wave-scan+phase program (one dispatch per superchunk, the
+    production path) must match the two-dispatch split kept under --profile:
+    same math, only the program boundary moves."""
+    a = _make_trainer("streaming")                  # fused (default)
+    b = _make_trainer("streaming", profile=True)    # wave scan + phase split
+    ra = [a.train_epoch() for _ in range(2)]
+    rb = [b.train_epoch() for _ in range(2)]
+    for xa, xb in zip(ra, rb):
+        assert np.isclose(xa.loss, xb.loss, rtol=1e-5), (xa.loss, xb.loss)
+        assert np.isclose(xa.ap, xb.ap, rtol=1e-5)
+    la = jax.tree.leaves(a.params)
+    lb = jax.tree.leaves(b.params)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(a.mem.memory), np.asarray(b.mem.memory),
+        rtol=2e-5, atol=2e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.index_state.data), np.asarray(b.index_state.data)
+    )

@@ -55,7 +55,7 @@ from zebra_tpu.train.early_stopping import EarlyStopMonitor
 from zebra_tpu.data.sampler import RandEdgeSampler
 from zebra_tpu.index.streaming import TpprParams
 from zebra_tpu.index.waves import wave_flat_index, wave_scan_chunk
-from zebra_tpu.train.phase import Stream, run_phase
+from zebra_tpu.train.phase import Stream, run_phase, run_phase_fused
 from zebra_tpu.train.step import flush_pending_messages, make_optimizer
 from zebra_tpu.utils.profiling import PhaseTimers, trace_context
 
@@ -73,8 +73,12 @@ class PhaseResult:
     acc: float
     loss: float = 0.0
     seconds: float = 0.0
-    index_seconds: float = 0.0  # host+device time in the T-PPR index scan
-                                # (reference logs 'tppr: {t}', train.py:275)
+    index_seconds: float = 0.0  # time in the T-PPR index machinery
+                                # (reference logs 'tppr: {t}', train.py:275).
+                                # On the fused wave path this is host
+                                # scheduling only (the device scan fuses into
+                                # the phase program); run with --profile for
+                                # the exact host+device split
     overflow: float = 0.0       # >0: some batch overflowed the lazy-update
                                 # compaction cap (train/step.py) and the
                                 # epoch's numbers are from the compacted
@@ -244,6 +248,8 @@ class Trainer:
         # eval negatives are fixed per phase, so their wave schedules (and
         # the uploaded flat slot vectors) are computed once and reused
         self._eval_scheds: Dict[str, list] = {}
+        # per-stream wave-count high-water mark (see _wave_scheds)
+        self._wave_hwm: Dict[str, int] = {}
         # sticky switch to the per-position lazy-update path after a batch
         # overflows the unique compaction cap (train/step.py:make_lazy_plan);
         # the overflowing epoch itself is rerun exactly (train_epoch)
@@ -356,7 +362,7 @@ class Trainer:
         n_shards = 1
         if cfg.owner_aligned_waves and self._mesh is not None:
             n_shards = self._mesh.devices.size
-        scheds = []
+        raw = []
         for lo in range(0, total, chunk):
             hi = lo + chunk
             v = host["valid"][lo:hi]
@@ -364,9 +370,21 @@ class Trainer:
                 host["src"][lo:hi][v], host["dst"][lo:hi][v], negs[lo:hi][v],
                 cfg.n_nodes, cap=cfg.wave_cap, n_shards=n_shards,
             )
-            flat = np.full(hi - lo, n_waves * cfg.wave_cap, np.int32)
+            raw.append((hi - lo, v, flat_valid, n_waves))
+        # pad every chunk's wave count to the stream's high-water mark: the
+        # wave count jitters across epochs (fresh negatives change the
+        # extraction-read dependencies), and each distinct count compiles a
+        # separate fused phase program (~tens of s); scanning a few hundred
+        # extra empty waves costs ~ms. Padding only grows n_waves, so the
+        # schedule stays valid — the extra waves hold no valid lanes.
+        hwm = max(self._wave_hwm.get(stream_name, 0),
+                  max(n for _, _, _, n in raw))
+        self._wave_hwm[stream_name] = hwm
+        scheds = []
+        for size, v, flat_valid, _ in raw:
+            flat = np.full(size, hwm * cfg.wave_cap, np.int32)
             flat[v] = flat_valid
-            scheds.append((jnp.asarray(flat), n_waves))
+            scheds.append((jnp.asarray(flat), hwm))
         return scheds
 
     def _prepare_train_epoch(self, epoch_id: int):
@@ -477,26 +495,43 @@ class Trainer:
                 if max_chunks is not None and ci >= start_chunk + max_chunks:
                     break
                 hi = min(lo + chunk, total)
-                ti0 = time.time()
                 flat_dev, n_waves = scheds[ci]
                 chunk_stream = jax.tree.map(lambda x: x[lo:hi], stream)
-                index_state, queries = wave_scan_chunk(
-                    index_state, self._tppr_params,
-                    chunk_stream.src, chunk_stream.dst, chunk_stream.neg,
-                    chunk_stream.t, chunk_stream.eidx, chunk_stream.valid,
-                    flat_dev, n_waves, cfg.wave_cap,
-                    self._use_pallas,
-                )
-                if cfg.profile:
-                    # exact index/tower split, at the cost of queue overlap
-                    jax.block_until_ready(queries)
-                t_index += time.time() - ti0
-                self.params, self.opt_state, self.mem, _, metrics = run_phase(
-                    run_cfg, train, (hi - lo) // cfg.bs,
-                    self.params, self.opt_state, self.mem, (),
-                    jax.random.fold_in(rng, ci), self.edge_feats, nbr_index,
-                    chunk_stream, queries,
-                )
+                # ZEBRA_SPLIT_DISPATCH=1 forces the two-dispatch path
+                # without the profile sync — the A/B control for the fused
+                # program (scripts/fused_dispatch_ab notes in RESULTS.md)
+                if cfg.profile or os.environ.get("ZEBRA_SPLIT_DISPATCH") == "1":
+                    # two dispatches: exact index/tower split, at the cost
+                    # of queue overlap and one extra host round trip
+                    ti0 = time.time()
+                    index_state, queries = wave_scan_chunk(
+                        index_state, self._tppr_params,
+                        chunk_stream.src, chunk_stream.dst, chunk_stream.neg,
+                        chunk_stream.t, chunk_stream.eidx, chunk_stream.valid,
+                        flat_dev, n_waves, cfg.wave_cap,
+                        self._use_pallas,
+                    )
+                    if cfg.profile:
+                        jax.block_until_ready(queries)
+                    t_index += time.time() - ti0
+                    self.params, self.opt_state, self.mem, _, metrics = run_phase(
+                        run_cfg, train, (hi - lo) // cfg.bs,
+                        self.params, self.opt_state, self.mem, (),
+                        jax.random.fold_in(rng, ci), self.edge_feats,
+                        nbr_index, chunk_stream, queries,
+                    )
+                else:
+                    # production path: index scan + batch scan fused into
+                    # one program — one dispatch per superchunk (each host
+                    # round trip costs tens of ms on tunneled deployments)
+                    (self.params, self.opt_state, self.mem, index_state,
+                     metrics) = run_phase_fused(
+                        run_cfg, train, (hi - lo) // cfg.bs, n_waves,
+                        self._use_pallas,
+                        self.params, self.opt_state, self.mem, index_state,
+                        jax.random.fold_in(rng, ci), self.edge_feats,
+                        chunk_stream, flat_dev,
+                    )
                 all_metrics.append(metrics)
                 self._chunk_cursor = ci + 1
             if train and self._chunk_cursor >= n_chunks:
@@ -607,10 +642,9 @@ class Trainer:
         cfg = self.cfg
         if cfg.embedding_module != "diffusion":
             return False
-        from zebra_tpu.train.step import resolve_lazy_cap
+        from zebra_tpu.train.step import lazy_position_count, resolve_lazy_cap
 
-        n_positions = cfg.n_tppr * 3 * cfg.bs * cfg.topk
-        return resolve_lazy_cap(cfg, n_positions) > 0
+        return resolve_lazy_cap(cfg, lazy_position_count(cfg)) > 0
 
     def _reset_epoch_state(self):
         """Zeroed memory + empty index, sharded when a mesh is active."""

@@ -248,7 +248,44 @@ def _run_phase(
     return params, opt_state, mem, index_state, metrics
 
 
+def _run_phase_fused(
+    cfg: Config,
+    train: bool,
+    n_batches: int,
+    n_waves: int,
+    use_pallas: bool,
+    params,
+    opt_state,
+    mem: MemoryState,
+    index_state,
+    rng: jnp.ndarray,
+    edge_feats: jnp.ndarray,
+    stream: Stream,
+    flat: jnp.ndarray,       # i32 [E] wave·cap + lane per edge
+):
+    """Wave-parallel index scan + the batch scan as ONE XLA program per
+    superchunk. The two-dispatch split (``wave_scan_chunk`` then
+    :func:`run_phase`) pays a host round trip between the scans — tens of ms
+    each on tunneled deployments — for no data reason: the queries feed the
+    batch scan directly and never leave the device. ``cfg.profile`` keeps the
+    split path for an exact index/tower time breakdown."""
+    from zebra_tpu.index.waves import _wave_scan_chunk
+
+    tppr_params = TpprParams.create(cfg.alpha_list, cfg.beta_list, cfg.topk)
+    index_state, queries = _wave_scan_chunk(
+        index_state, tppr_params,
+        stream.src, stream.dst, stream.neg, stream.t, stream.eidx,
+        stream.valid, flat, n_waves, cfg.wave_cap, use_pallas,
+    )
+    params, opt_state, mem, _, metrics = _run_phase(
+        cfg, train, n_batches, params, opt_state, mem, (), rng,
+        edge_feats, (), stream, queries,
+    )
+    return params, opt_state, mem, index_state, metrics
+
+
 _run_phase_jit = None
+_run_phase_fused_jit = None
 
 
 def run_phase(*args, **kwargs):
@@ -263,3 +300,17 @@ def run_phase(*args, **kwargs):
             compiler_options=resolve_compiler_options(),
         )(_run_phase)
     return _run_phase_jit(*args, **kwargs)
+
+
+def run_phase_fused(*args, **kwargs):
+    """Jitted :func:`_run_phase_fused` (one dispatch per superchunk)."""
+    global _run_phase_fused_jit
+    if _run_phase_fused_jit is None:
+        _run_phase_fused_jit = functools.partial(
+            jax.jit,
+            static_argnames=("cfg", "train", "n_batches", "n_waves",
+                             "use_pallas"),
+            donate_argnames=("params", "opt_state", "mem", "index_state"),
+            compiler_options=resolve_compiler_options(),
+        )(_run_phase_fused)
+    return _run_phase_fused_jit(*args, **kwargs)

@@ -123,6 +123,15 @@ class LazyPlan(NamedTuple):
     end_pos: Any = None             # i32 [cap] segment ends (exclusive)
 
 
+def lazy_position_count(cfg: Config) -> int:
+    """Selected-neighbor positions in one train batch's lazy update — the
+    flattened ``q.nbr`` layout [M, 3b, k] consumed by :func:`make_lazy_plan`.
+    The Trainer's snapshot gate (loop.py:_lazy_compaction_active) derives its
+    overflow-possible decision from the same count; ``make_lazy_plan``
+    asserts agreement so a layout change cannot silently desync the two."""
+    return cfg.n_tppr * 3 * cfg.bs * cfg.topk
+
+
 def resolve_lazy_cap(cfg: Config, n_positions: int) -> int:
     """The static unique-row budget: cfg.lazy_unique_cap, with -1 = auto
     (2/5 of the position count — measured p90 unique ≈ 0.32·S on realistic
@@ -152,6 +161,11 @@ def make_lazy_plan(cfg: Config, q, nodes3) -> LazyPlan:
     boundaries come from one merged sort (searchsorted method='sort')."""
     ids = q.nbr.reshape(-1)
     s_total = ids.shape[0]
+    assert s_total == lazy_position_count(cfg), (
+        "query layout desynced from lazy_position_count "
+        f"({s_total} positions vs {lazy_position_count(cfg)}) — the "
+        "Trainer's overflow-snapshot gate keys off that count"
+    )
     cap = resolve_lazy_cap(cfg, s_total)
     if not cap:
         # per-position mode needs only membership: key-only sort + binary
