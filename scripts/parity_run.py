@@ -76,18 +76,25 @@ def make_dataset(workdir: str, name: str, n_events: int, seed: int,
 
 def parse_log(log_dir: str):
     """Parse the newest log file under log_dir for per-epoch val AP and the
-    final transductive/inductive test AP (identical schema on both sides)."""
+    final transductive/inductive test AP (identical schema on both sides).
+    With ``--n_runs N`` both sides append all runs to one file; the Test
+    statistics lines come in (Old, New) pairs in run order, so they group
+    back into per-run results."""
     files = sorted(glob.glob(os.path.join(log_dir, "*")), key=os.path.getmtime)
     if not files:
         raise FileNotFoundError(f"no log file under {log_dir}")
     text = open(files[-1]).read()
     val_ap = [(float(a), float(b)) for a, b in VAL_AP_RE.findall(text)]
-    test = {m[0]: float(m[2]) for m in TEST_RE.findall(text)}
+    test_runs, nn_test_runs = [], []
+    for typ, _auc, ap in TEST_RE.findall(text):
+        (test_runs if typ == "Old" else nn_test_runs).append(float(ap))
     return {
         "val_ap": [v for v, _ in val_ap],
         "nn_val_ap": [v for _, v in val_ap],
-        "test_ap": test.get("Old"),
-        "nn_test_ap": test.get("New"),
+        "test_ap": float(np.mean(test_runs)) if test_runs else None,
+        "nn_test_ap": float(np.mean(nn_test_runs)) if nn_test_runs else None,
+        "test_ap_runs": test_runs,
+        "nn_test_ap_runs": nn_test_runs,
     }
 
 
@@ -116,9 +123,17 @@ def run_reference(workdir: str, name: str, hp: dict) -> dict:
         *hp.get("flags", ()),
     ]
     print("[parity] reference:", " ".join(cmd), flush=True)
-    subprocess.run(cmd, cwd=run_dir, env=env, check=True,
-                   stdout=subprocess.DEVNULL, stderr=subprocess.STDOUT)
+    _run_checked(cmd, run_dir, env)
     return parse_log(os.path.join(run_dir, "log", name))
+
+
+def _run_checked(cmd, run_dir, env):
+    r = subprocess.run(cmd, cwd=run_dir, env=env,
+                       stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                       text=True)
+    if r.returncode != 0:
+        print(r.stdout, file=sys.stderr)
+        raise subprocess.CalledProcessError(r.returncode, cmd)
 
 
 def run_zebra(workdir: str, name: str, hp: dict, tag: str = "base",
@@ -127,6 +142,11 @@ def run_zebra(workdir: str, name: str, hp: dict, tag: str = "base",
     os.makedirs(run_dir, exist_ok=True)
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
+    # the A/B is CPU-vs-CPU by design (the reference side is torch CPU).
+    # Force it: on tunneled deployments the inherited env carries
+    # JAX_PLATFORMS=axon, and an accidental TPU run would contend with
+    # whatever benchmark holds the single chip
+    env["JAX_PLATFORMS"] = "cpu"
     cmd = [
         sys.executable, os.path.join(REPO, "train.py"),
         "-d", name, "--data_dir", os.path.join(workdir, "data"),
@@ -144,8 +164,7 @@ def run_zebra(workdir: str, name: str, hp: dict, tag: str = "base",
         *extra,
     ]
     print(f"[parity] zebra_tpu[{tag}]:", " ".join(cmd), flush=True)
-    subprocess.run(cmd, cwd=run_dir, env=env, check=True,
-                   stdout=subprocess.DEVNULL, stderr=subprocess.STDOUT)
+    _run_checked(cmd, run_dir, env)
     return parse_log(os.path.join(run_dir, "log", name))
 
 
@@ -168,8 +187,15 @@ def main():
     ap.add_argument("--n_layer", type=int, default=2,
                     help="pruning query depth")
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--repeats", type=int, default=1,
+                    help="runs per side (--n_runs on both); Δ is then "
+                         "between per-side MEANS, reported with ±σ bands")
     ap.add_argument("--tol", type=float, default=0.02,
                     help="max |Δ test AP| vs reference before exit 1")
+    ap.add_argument("--nn_tol", type=float, default=None,
+                    help="max |Δ inductive test AP| (default 2×tol: the "
+                         "new-node split is ~15%% of an already-small "
+                         "synthetic stream, so its run variance is wider)")
     ap.add_argument("--ab", action="store_true",
                     help="also sweep message_dtype / prng_impl variants")
     ap.add_argument("--no_edge_feats", action="store_true",
@@ -191,7 +217,8 @@ def main():
                   for f in args.flags.split(",") if f
                   for t in ("--" + f.split("=", 1)[0],
                             *f.split("=", 1)[1:])
-              ))
+              ) + (("--n_runs", str(args.repeats))
+                   if args.repeats > 1 else ()))
     name = "parity"
     os.makedirs(args.workdir, exist_ok=True)
     make_dataset(args.workdir, name, args.n_events, args.seed,
@@ -208,23 +235,38 @@ def main():
             args.workdir, name, hp, "f32mem", ("--memory_dtype", "float32"))
 
     ref = results["reference"]
+    nn_tol = args.nn_tol if args.nn_tol is not None else 2 * args.tol
     print(f"\n== parity @ n_events={args.n_events}, n_epoch={args.n_epoch}, "
           f"dims={args.dim}, M={len(args.alpha)}, k={args.topk}, "
-          f"strategy={args.strategy} ==")
-    hdr = f"{'impl':26s} {'val AP by epoch':38s} {'test AP':>8s} {'nn test':>8s}"
+          f"strategy={args.strategy}, repeats={args.repeats} ==")
+    hdr = (f"{'impl':26s} {'val AP by epoch':38s} "
+           f"{'test AP':>16s} {'nn test AP':>16s}")
     print(hdr)
-    worst = 0.0
+
+    def band(runs):
+        if len(runs) <= 1:
+            return f"{runs[0]:.4f}" if runs else "-"
+        return f"{np.mean(runs):.4f}±{np.std(runs):.4f}"
+
+    worst = worst_nn = 0.0
     for label, r in results.items():
-        traj = " ".join(f"{v:.4f}" for v in r["val_ap"])
-        print(f"{label:26s} {traj:38s} {r['test_ap']:8.4f} {r['nn_test_ap']:8.4f}")
+        traj = " ".join(f"{v:.4f}" for v in r["val_ap"][: args.n_epoch])
+        print(f"{label:26s} {traj:38s} {band(r['test_ap_runs']):>16s} "
+              f"{band(r['nn_test_ap_runs']):>16s}")
         if label != "reference" and ref["test_ap"] is not None:
             worst = max(worst, abs(r["test_ap"] - ref["test_ap"]))
-    print(f"\nmax |Δ test AP| vs reference: {worst:.4f} (tol {args.tol})")
-    out = {"results": results, "max_delta_test_ap": worst, "tol": args.tol,
+            worst_nn = max(
+                worst_nn, abs(r["nn_test_ap"] - ref["nn_test_ap"])
+            )
+    print(f"\nmax |Δ mean test AP| vs reference: {worst:.4f} (tol {args.tol}); "
+          f"inductive: {worst_nn:.4f} (tol {nn_tol})")
+    out = {"results": results, "max_delta_test_ap": worst,
+           "max_delta_nn_test_ap": worst_nn, "tol": args.tol,
+           "nn_tol": nn_tol, "repeats": args.repeats,
            "n_events": args.n_events, "n_epoch": args.n_epoch}
     with open(os.path.join(args.workdir, "parity_results.json"), "w") as f:
         json.dump(out, f, indent=2)
-    sys.exit(0 if worst <= args.tol else 1)
+    sys.exit(0 if worst <= args.tol and worst_nn <= nn_tol else 1)
 
 
 if __name__ == "__main__":

@@ -40,6 +40,9 @@ def test_reference_parity_compact(tmp_path):
     out = json.load(open(tmp_path / "parity_results.json"))
     ref = out["results"]["reference"]
     zeb = out["results"]["zebra(default bf16/rbg)"]
-    # both learn (way above the 0.5 chance level), and they agree
+    # both learn (way above the 0.5 chance level), and they agree — on the
+    # inductive (new-node) split too, whose variance band is wider (~15% of
+    # an already-small stream; the multi-seed σ study is in PARITY.md)
     assert ref["test_ap"] > 0.55 and zeb["test_ap"] > 0.55, out
     assert out["max_delta_test_ap"] <= 0.06, out
+    assert out["max_delta_nn_test_ap"] <= 0.12, out

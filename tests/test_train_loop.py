@@ -209,11 +209,12 @@ def test_lazy_dedup_matches_per_position():
 
 
 def test_fused_chunk_matches_two_dispatch():
-    """The fused wave-scan+phase program (one dispatch per superchunk, the
-    production path) must match the two-dispatch split kept under --profile:
-    same math, only the program boundary moves."""
-    a = _make_trainer("streaming")                  # fused (default)
-    b = _make_trainer("streaming", profile=True)    # wave scan + phase split
+    """The fused wave-scan+phase program (--fused_dispatch) must match the
+    default two-dispatch split: same math, only the program boundary moves.
+    (The split is the default because it measured ~15% faster on v5e —
+    RESULTS.md round 3.)"""
+    a = _make_trainer("streaming", fused_dispatch=True)
+    b = _make_trainer("streaming")
     ra = [a.train_epoch() for _ in range(2)]
     rb = [b.train_epoch() for _ in range(2)]
     for xa, xb in zip(ra, rb):
@@ -231,3 +232,24 @@ def test_fused_chunk_matches_two_dispatch():
     np.testing.assert_array_equal(
         np.asarray(a.index_state.data), np.asarray(b.index_state.data)
     )
+
+
+def test_owner_aligned_auto_policy():
+    """Auto (None) enables owner-aligned waves only under multi-process
+    execution; explicit flags win (docs/SCALING.md study)."""
+    from zebra_tpu.config import Config
+    from zebra_tpu.train.loop import resolve_owner_aligned
+
+    assert Config().owner_aligned_waves is None
+    # single-process test environment: auto resolves off
+    assert resolve_owner_aligned(Config()) is False
+    assert resolve_owner_aligned(Config(owner_aligned_waves=True)) is True
+    assert resolve_owner_aligned(Config(owner_aligned_waves=False)) is False
+    # CLI tri-state
+    assert Config.from_args(["-d", "x"]).owner_aligned_waves is None
+    assert Config.from_args(
+        ["-d", "x", "--owner_aligned_waves"]
+    ).owner_aligned_waves is True
+    assert Config.from_args(
+        ["-d", "x", "--no_owner_aligned_waves"]
+    ).owner_aligned_waves is False

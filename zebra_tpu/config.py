@@ -98,11 +98,22 @@ class Config:
     dist_process_id: int = 0
     index_chunk: int = 65536         # events per wave-pipeline superchunk
     wave_cap: int = 64               # max edges per wave (static lane count)
-    owner_aligned_waves: bool = False  # pack each wave's lanes into per-shard
-                                       # blocks keyed by the src row's owner
-                                       # (keeps src-row traffic chip-local on
-                                       # sharded meshes; costs wave count
-                                       # under node skew)
+    fused_dispatch: bool = False     # fuse the wave scan + batch scan into
+                                     # one program per superchunk. Off: the
+                                     # two dispatches pipeline under async
+                                     # enqueue and the fused module compiles
+                                     # ~15% slower on v5e (RESULTS.md r3 A/B)
+    owner_aligned_waves: Optional[bool] = None  # pack each wave's lanes into
+                                       # per-shard blocks keyed by the src
+                                       # row's owner (keeps src-row traffic
+                                       # chip-local on sharded meshes; costs
+                                       # wave count under node skew — study
+                                       # in docs/SCALING.md). None = auto:
+                                       # on iff multi-PROCESS (cross-host
+                                       # row traffic is the cost alignment
+                                       # removes; single-host meshes ride
+                                       # fast ICI/HBM and only pay the wave
+                                       # inflation)
     pallas_merge: bool = True        # fused Pallas kernel for the SANTA merge
                                      # (used when running on TPU; ~3x the
                                      # XLA merge)
@@ -279,7 +290,11 @@ class Config:
         p.add_argument("--dist_process_id", type=int, default=0)
         p.add_argument("--index_chunk", type=int, default=65536)
         p.add_argument("--wave_cap", type=int, default=64)
-        p.add_argument("--owner_aligned_waves", action="store_true")
+        p.add_argument("--fused_dispatch", action="store_true")
+        p.add_argument("--owner_aligned_waves", dest="owner_aligned_waves",
+                       action="store_true", default=None)
+        p.add_argument("--no_owner_aligned_waves",
+                       dest="owner_aligned_waves", action="store_false")
         p.add_argument("--debug_nans", action="store_true")
         p.add_argument("--trace_dir", type=str, default=None)
         p.add_argument("--trace_epoch", type=int, default=1)

@@ -61,6 +61,20 @@ from zebra_tpu.utils.profiling import PhaseTimers, trace_context
 
 logger = logging.getLogger("zebra_tpu")
 
+
+def resolve_owner_aligned(cfg: Config) -> bool:
+    """Owner-aligned wave scheduling policy. Explicit flag wins; auto (None)
+    enables it only under multi-PROCESS execution: alignment exists to keep
+    src-row reads on the owning HOST (the wave executors read their lane
+    block's rows locally instead of pulling them over DCN), which is exactly
+    the multi-process case — while its cost, wave-count inflation under node
+    skew (every shard's hottest node serializes its own lane block; study in
+    docs/SCALING.md), is paid on any mesh. Single-process meshes ride
+    HBM/ICI for row traffic, so auto keeps alignment off there."""
+    if cfg.owner_aligned_waves is not None:
+        return cfg.owner_aligned_waves
+    return jax.process_count() > 1
+
 # eval negative-sampling seeds (reference train.py:141-144; inductive val
 # shares the val sampler, train.py:266)
 SEED_VAL, SEED_TEST, SEED_NN_TEST = 0, 2, 3
@@ -360,7 +374,7 @@ class Trainer:
         total = stream.src.shape[0]
         chunk = total // n_chunks
         n_shards = 1
-        if cfg.owner_aligned_waves and self._mesh is not None:
+        if resolve_owner_aligned(cfg) and self._mesh is not None:
             n_shards = self._mesh.devices.size
         raw = []
         for lo in range(0, total, chunk):
@@ -497,12 +511,24 @@ class Trainer:
                 hi = min(lo + chunk, total)
                 flat_dev, n_waves = scheds[ci]
                 chunk_stream = jax.tree.map(lambda x: x[lo:hi], stream)
-                # ZEBRA_SPLIT_DISPATCH=1 forces the two-dispatch path
-                # without the profile sync — the A/B control for the fused
-                # program (scripts/fused_dispatch_ab notes in RESULTS.md)
-                if cfg.profile or os.environ.get("ZEBRA_SPLIT_DISPATCH") == "1":
-                    # two dispatches: exact index/tower split, at the cost
-                    # of queue overlap and one extra host round trip
+                # DEFAULT: two dispatches per chunk (wave scan, then the
+                # batch scan). Measured on the tunneled v5e: the dispatches
+                # pipeline (async enqueue keeps the device fed) and the
+                # single fused program is ~15% SLOWER — XLA compiles the
+                # combined module worse than the parts (back-to-back A/B in
+                # RESULTS.md, round 3). --fused_dispatch keeps the fused
+                # variant selectable for deployments where per-dispatch cost
+                # dominates; results are equivalent either way (tested).
+                if cfg.fused_dispatch and not cfg.profile:
+                    (self.params, self.opt_state, self.mem, index_state,
+                     metrics) = run_phase_fused(
+                        run_cfg, train, (hi - lo) // cfg.bs, n_waves,
+                        self._use_pallas,
+                        self.params, self.opt_state, self.mem, index_state,
+                        jax.random.fold_in(rng, ci), self.edge_feats,
+                        chunk_stream, flat_dev,
+                    )
+                else:
                     ti0 = time.time()
                     index_state, queries = wave_scan_chunk(
                         index_state, self._tppr_params,
@@ -512,6 +538,7 @@ class Trainer:
                         self._use_pallas,
                     )
                     if cfg.profile:
+                        # exact index/tower split, at the cost of overlap
                         jax.block_until_ready(queries)
                     t_index += time.time() - ti0
                     self.params, self.opt_state, self.mem, _, metrics = run_phase(
@@ -519,18 +546,6 @@ class Trainer:
                         self.params, self.opt_state, self.mem, (),
                         jax.random.fold_in(rng, ci), self.edge_feats,
                         nbr_index, chunk_stream, queries,
-                    )
-                else:
-                    # production path: index scan + batch scan fused into
-                    # one program — one dispatch per superchunk (each host
-                    # round trip costs tens of ms on tunneled deployments)
-                    (self.params, self.opt_state, self.mem, index_state,
-                     metrics) = run_phase_fused(
-                        run_cfg, train, (hi - lo) // cfg.bs, n_waves,
-                        self._use_pallas,
-                        self.params, self.opt_state, self.mem, index_state,
-                        jax.random.fold_in(rng, ci), self.edge_feats,
-                        chunk_stream, flat_dev,
                     )
                 all_metrics.append(metrics)
                 self._chunk_cursor = ci + 1

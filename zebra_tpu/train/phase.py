@@ -264,11 +264,13 @@ def _run_phase_fused(
     flat: jnp.ndarray,       # i32 [E] wave·cap + lane per edge
 ):
     """Wave-parallel index scan + the batch scan as ONE XLA program per
-    superchunk. The two-dispatch split (``wave_scan_chunk`` then
-    :func:`run_phase`) pays a host round trip between the scans — tens of ms
-    each on tunneled deployments — for no data reason: the queries feed the
-    batch scan directly and never leave the device. ``cfg.profile`` keeps the
-    split path for an exact index/tower time breakdown."""
+    superchunk (``--fused_dispatch``). Removes one host dispatch per chunk,
+    but measured ~15% SLOWER than the two-dispatch split on the tunneled
+    v5e: async enqueue already pipelines the split programs, and XLA
+    compiles the combined module worse (RESULTS.md round-3 A/B: 86.0k vs
+    100.8-104.7k ev/s back-to-back). Kept selectable for deployments where
+    per-dispatch cost dominates; bit-equivalence with the split is tested
+    (test_fused_chunk_matches_two_dispatch)."""
     from zebra_tpu.index.waves import _wave_scan_chunk
 
     tppr_params = TpprParams.create(cfg.alpha_list, cfg.beta_list, cfg.topk)
