@@ -111,3 +111,91 @@ def test_score_with_pruning_strategy():
                             test.timestamps[:16])
     assert probs.shape == (16,)
     assert np.all(np.isfinite(probs))
+
+
+def test_pruning_observe_folds_into_adjacency():
+    """observe() must extend the adjacency index for stateless strategies
+    (pruning): a brand-new interaction becomes visible to later pruned
+    queries instead of silently going stale."""
+    trainer = _make_trainer("pruning")
+    trainer.train_epoch()
+    predictor = LinkPredictor.from_trainer(trainer)  # rebuild_every=1
+
+    full = trainer.splits.full
+    t_new = float(full.timestamps[-1]) + 100.0
+    eidx_new = int(full.edge_idxs.max()) + 1
+    # a (src, dst) pair given a fresh interaction at t_new
+    src, dst = int(full.sources[0]), int(full.destinations[1])
+
+    before = predictor.score([src], [dst], [t_new + 1.0])
+    predictor.observe([src], [dst], [t_new], [eidx_new])
+    assert predictor._pending_n == 0  # folded immediately at rebuild_every=1
+
+    # the new edge is in the adjacency: a pruned query from src after t_new
+    # must now include dst among its top-k neighborhood
+    q = predictor._queries([src], [dst], [t_new + 1.0], with_neg=False)
+    nbrs = np.asarray(q.nbr)[:, 0, :]  # [M, k] for the src row
+    assert (nbrs == dst).any(), (nbrs, dst)
+    after = predictor.score([src], [dst], [t_new + 1.0])
+    assert np.isfinite(after).all() and np.isfinite(before).all()
+
+
+def test_pruning_observe_batched_rebuild():
+    """rebuild_every > 1 defers the fold; flush_index() forces it."""
+    trainer = _make_trainer("pruning")
+    trainer.train_epoch()
+    predictor = LinkPredictor.from_trainer(trainer, rebuild_every=1000)
+    full = trainer.splits.full
+    t_new = float(full.timestamps[-1]) + 100.0
+    predictor.observe([1], [2], [t_new], [int(full.edge_idxs.max()) + 1])
+    assert predictor._pending_n == 1
+    predictor.flush_index()
+    assert predictor._pending_n == 0
+    q = predictor._queries([1], [2], [t_new + 1.0], with_neg=False)
+    assert (np.asarray(q.nbr)[:, 0, :] == 2).any()
+
+
+def test_predictor_without_events_warns(caplog):
+    import logging
+
+    trainer = _make_trainer("pruning")
+    trainer.train_epoch()
+    p = LinkPredictor(trainer.cfg, trainer.params, trainer.mem,
+                      trainer.index_state, trainer.edge_feats,
+                      trainer.full_nbr_index)  # no events=
+    full = trainer.splits.full
+    with caplog.at_level(logging.WARNING, logger="zebra_tpu"):
+        p.observe([1], [2], [float(full.timestamps[-1]) + 1.0],
+                  [int(full.edge_idxs.max()) + 1])
+    assert any("NOT the adjacency" in r.message for r in caplog.records)
+
+
+def test_sharded_mesh_predictor_matches_single_device():
+    """A LinkPredictor over a row-sharded (8-device mesh) trainer state must
+    score and observe identically to the single-device one."""
+    a = _make_trainer("streaming")
+    b = _make_trainer("streaming", n_devices=8)
+    ra = a.train_epoch()
+    rb = b.train_epoch()
+    assert np.isclose(ra.loss, rb.loss, rtol=1e-4), (ra.loss, rb.loss)
+
+    pa = LinkPredictor.from_trainer(a)
+    pb = LinkPredictor.from_trainer(b)
+    test = a.splits.test
+    s, d, t = (test.sources[:16], test.destinations[:16],
+               test.timestamps[:16])
+    np.testing.assert_allclose(
+        pa.score(s, d, t), pb.score(s, d, t), rtol=2e-4, atol=2e-5
+    )
+    e = test.edge_idxs[:16]
+    pa.observe(s, d, t, e)
+    pb.observe(s, d, t, e)
+    np.testing.assert_allclose(
+        np.asarray(pa.mem.memory), np.asarray(pb.mem.memory),
+        rtol=2e-4, atol=2e-5,
+    )
+    s2, d2, t2 = (test.sources[16:32], test.destinations[16:32],
+                  test.timestamps[16:32])
+    np.testing.assert_allclose(
+        pa.score(s2, d2, t2), pb.score(s2, d2, t2), rtol=2e-4, atol=2e-5
+    )

@@ -16,11 +16,14 @@ Example::
 from __future__ import annotations
 
 import functools
-from typing import Optional
+import logging
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger("zebra_tpu")
 
 from zebra_tpu.config import Config
 from zebra_tpu.index.streaming import (
@@ -57,7 +60,17 @@ class LinkPredictor:
     """Stateful scorer over a (params, memory, index) snapshot."""
 
     def __init__(self, cfg: Config, params, mem: MemoryState, index_state,
-                 edge_feats, nbr_index=()):
+                 edge_feats, nbr_index=(),
+                 events: Optional[Tuple[np.ndarray, ...]] = None,
+                 rebuild_every: int = 1):
+        """``events`` is the (sources, destinations, timestamps, edge_idxs)
+        stream ``nbr_index`` was built from: with it, ``observe()`` folds new
+        interactions into the adjacency index (stateless strategies — pruning
+        queries and the recursive towers — would otherwise go stale). The
+        fold is a host-side index rebuild, amortized by ``rebuild_every``:
+        1 (default) rebuilds on every observe() call (always-fresh, O(E log E)
+        host work per call), larger values batch rebuilds and bound staleness
+        to that many events (``flush_index()`` forces one)."""
         self.cfg = cfg
         self.params = params
         self.mem = mem
@@ -65,14 +78,67 @@ class LinkPredictor:
         self.edge_feats = edge_feats
         self.nbr_index = nbr_index
         self._tppr = TpprParams.create(cfg.alpha_list, cfg.beta_list, cfg.topk)
+        self._events = (
+            tuple(np.asarray(c).copy() for c in events)
+            if events is not None else None
+        )
+        self._pending: list = []
+        self._pending_n = 0
+        self.rebuild_every = max(1, rebuild_every)
+        self._warned_static = False
 
     @classmethod
-    def from_trainer(cls, trainer) -> "LinkPredictor":
+    def from_trainer(cls, trainer, rebuild_every: int = 1) -> "LinkPredictor":
         copy = lambda t: jax.tree.map(jnp.copy, t) if t != () else ()
+        fu = trainer.splits.full
         return cls(
             trainer.cfg, copy(trainer.params), copy(trainer.mem),
             copy(trainer.index_state), trainer.edge_feats,
             trainer.full_nbr_index,
+            events=(fu.sources, fu.destinations, fu.timestamps, fu.edge_idxs),
+            rebuild_every=rebuild_every,
+        )
+
+    # ------------------------------------------------------------ adjacency
+
+    def _append_events(self, src, dst, t, eidx) -> None:
+        """Queue observed interactions for the adjacency index (no-op for
+        the streaming strategy, whose index IS the updated T-PPR state)."""
+        if self.nbr_index == ():
+            return
+        if self._events is None:
+            if not self._warned_static:
+                logger.warning(
+                    "LinkPredictor has no base event stream: observe()d "
+                    "interactions update memory%s but NOT the adjacency "
+                    "index — pruning/recursive queries will not see them. "
+                    "Pass events= (or use from_trainer) to enable index "
+                    "folding.",
+                    "/T-PPR state" if self.index_state != () else "",
+                )
+                self._warned_static = True
+            return
+        self._pending.append(
+            (np.asarray(src, np.int64), np.asarray(dst, np.int64),
+             np.asarray(t, np.float64), np.asarray(eidx, np.int64))
+        )
+        self._pending_n += len(src)
+        if self._pending_n >= self.rebuild_every:
+            self.flush_index()
+
+    def flush_index(self) -> None:
+        """Fold all pending observed interactions into the adjacency index
+        (host-side rebuild; reference get_neighbor_finder util.py:90-107)."""
+        if not self._pending:
+            return
+        from zebra_tpu.index.neighbor_finder import build_neighbor_index
+
+        cols = [np.concatenate([base] + [p[i] for p in self._pending])
+                for i, base in enumerate(self._events)]
+        self._events = tuple(cols)
+        self._pending, self._pending_n = [], 0
+        self.nbr_index = build_neighbor_index(
+            cols[0], cols[1], cols[2], cols[3], self.cfg.n_nodes
         )
 
     def _queries(self, src, dst, t, with_neg: bool = True):
@@ -129,10 +195,11 @@ class LinkPredictor:
         )
 
     def observe(self, src, dst, t, eidx) -> None:
-        """Ingest observed interactions: stream them through the index and
-        apply the eval-mode memory protocol (store then commit). With the
-        pruning strategy the adjacency index is static — rebuild it
-        periodically from the appended stream to fold new events in."""
+        """Ingest observed interactions: stream them through the T-PPR index
+        (streaming strategy), fold them into the adjacency index
+        (pruning/recursive strategies — see ``rebuild_every``), and apply the
+        eval-mode memory protocol (store then commit)."""
+        self._append_events(src, dst, t, eidx)
         src = np.asarray(src, np.int32)
         dst = np.asarray(dst, np.int32)
         t = np.asarray(t, np.float32)

@@ -128,6 +128,18 @@ class Trainer:
         if edge_feats is None or cfg.ignore_edge_feats:
             edge_feats = np.zeros((cfg.n_edges, 1), np.float32)
         cfg = cfg.replace(edge_dim=edge_feats.shape[1])
+        if node_feats is not None and not cfg.ignore_node_feats:
+            # matches the reference's active path, which passes
+            # node_features=None to the diffusion module and uses memory
+            # rows as node representations (reference tgn_model.py:85,
+            # embedding_module.py:253) — but a user shipping a real
+            # ml_{d}_node.npy should know it is not consumed
+            logger.warning(
+                "node_feats provided but not used: every embedding module "
+                "represents nodes by their memory rows, like the "
+                "reference's active path (tgn_model.py:85). Pass "
+                "--ignore_node_feats to silence."
+            )
         self.cfg = cfg
         self.splits = splits
         self.edge_feats = jnp.asarray(edge_feats, jnp.float32)
