@@ -237,3 +237,38 @@ def test_wave_scan_fuzz_bit_exact(seed, cap, skew):
         np.asarray(s_seq.data), np.asarray(s_wav.data),
         err_msg=f"seed={seed} cap={cap} skew={skew}",
     )
+
+
+def test_wave_count_padding_is_invariant():
+    """Padding a schedule's n_waves upward (the per-stream high-water mark,
+    loop.py:_wave_scheds) must not change scan results: the extra waves hold
+    no valid lanes."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zebra_tpu.index.streaming import TpprParams, init_tppr_state
+    from zebra_tpu.index.waves import wave_flat_index, wave_scan_chunk
+
+    rng = np.random.RandomState(0)
+    n_nodes, e, cap = 64, 256, 8
+    src = rng.randint(1, n_nodes, e).astype(np.int32)
+    dst = rng.randint(1, n_nodes, e).astype(np.int32)
+    neg = rng.randint(1, n_nodes, e).astype(np.int32)
+    t = np.sort(rng.rand(e)).astype(np.float32) * 100
+    eidx = np.arange(1, e + 1, dtype=np.int32)
+    valid = np.ones(e, bool)
+    params = TpprParams.create((0.1,), (0.9,), 4)
+
+    flat, n_waves = wave_flat_index(src, dst, neg, n_nodes, cap=cap)
+    outs = []
+    for extra in (0, 256):
+        state = init_tppr_state(1, n_nodes, 4)
+        s, rows = wave_scan_chunk(
+            state, params, jnp.asarray(src), jnp.asarray(dst),
+            jnp.asarray(neg), jnp.asarray(t), jnp.asarray(eidx),
+            jnp.asarray(valid), jnp.asarray(flat), n_waves + extra, cap,
+            False,
+        )
+        outs.append((np.asarray(s.data), np.asarray(rows)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
