@@ -75,13 +75,19 @@ def report(logdir, top):
             lines.append((total, line.name, agg))
         if not lines:
             continue
-        total, lname, agg = max(lines, key=lambda x: x[0])
-        print(f"\n== plane {plane.name!r} line {lname!r} "
-              f"busy {total / 1e12:.3f}s ==")
-        if not total:
-            continue
-        for name, ps in sorted(agg.items(), key=lambda kv: -kv[1])[:top]:
-            print(f"  {ps / 1e9:10.1f}ms  {100 * ps / total:5.1f}%  {name[:110]}")
+        lines.sort(key=lambda x: -x[0])
+        print(f"\n== plane {plane.name!r} ==")
+        for total, lname, _ in lines:
+            print(f"  line {lname!r}: busy {total / 1e12:.3f}s")
+        # op breakdown of the two busiest lines (typically the compute line
+        # and the async-copy line; both matter for the roofline story)
+        for total, lname, agg in lines[:2]:
+            if not total:
+                continue
+            print(f"\n-- top ops, line {lname!r} --")
+            for name, ps in sorted(agg.items(), key=lambda kv: -kv[1])[:top]:
+                print(f"  {ps / 1e9:10.1f}ms  {100 * ps / total:5.1f}%  "
+                      f"{name[:110]}")
 
 
 def main():
