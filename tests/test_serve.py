@@ -199,3 +199,41 @@ def test_sharded_mesh_predictor_matches_single_device():
     np.testing.assert_allclose(
         pa.score(s2, d2, t2), pb.score(s2, d2, t2), rtol=2e-4, atol=2e-5
     )
+
+
+def test_from_checkpoint_matches_from_trainer(tmp_path):
+    """The deployment path: a predictor rebuilt from a save_state file alone
+    scores identically to one taken from the live Trainer."""
+    trainer = _make_trainer("streaming")
+    trainer.fit(n_epoch=2)
+    path = str(tmp_path / "serve.ckpt")
+    trainer.save_state(path)
+
+    p_live = LinkPredictor.from_trainer(trainer)
+    p_file = LinkPredictor.from_checkpoint(
+        path, edge_feats=np.asarray(trainer.edge_feats)
+    )
+    test = trainer.splits.test
+    s, d, t = test.sources[:16], test.destinations[:16], test.timestamps[:16]
+    np.testing.assert_allclose(
+        p_live.score(s, d, t), p_file.score(s, d, t), rtol=1e-6, atol=1e-7
+    )
+
+    # pruning strategy needs the event stream for its adjacency index
+    tr2 = _make_trainer("pruning")
+    tr2.train_epoch()
+    path2 = str(tmp_path / "serve2.ckpt")
+    tr2.save_state(path2)
+    fu = tr2.splits.full
+    p2_live = LinkPredictor.from_trainer(tr2)
+    p2_file = LinkPredictor.from_checkpoint(
+        path2, edge_feats=np.asarray(tr2.edge_feats),
+        events=(fu.sources, fu.destinations, fu.timestamps, fu.edge_idxs),
+    )
+    np.testing.assert_allclose(
+        p2_live.score(s, d, t), p2_file.score(s, d, t), rtol=1e-6, atol=1e-7
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="adjacency"):
+        LinkPredictor.from_checkpoint(path2)

@@ -88,6 +88,56 @@ class LinkPredictor:
         self._warned_static = False
 
     @classmethod
+    def from_checkpoint(cls, path: str, cfg: Optional[Config] = None,
+                        edge_feats=None,
+                        events: Optional[Tuple[np.ndarray, ...]] = None,
+                        rebuild_every: int = 1) -> "LinkPredictor":
+        """Build a predictor from a ``Trainer.save_state`` checkpoint file —
+        no live Trainer needed (the deployment path). ``cfg`` defaults to the
+        one stored in the checkpoint; ``edge_feats`` to zeros (matching
+        ``--ignore_edge_feats`` / SNAP-style training); ``events`` (the
+        training stream columns) is required only by strategies that query
+        an adjacency index (pruning / recursive towers)."""
+        from zebra_tpu.train.checkpoint import load_checkpoint
+
+        ckpt = load_checkpoint(path)
+        cfg = cfg if cfg is not None else ckpt.get("cfg")
+        if cfg is None:
+            raise ValueError(
+                f"{path} predates config-carrying checkpoints; pass cfg="
+            )
+        as_dev = lambda t: jax.tree.map(jnp.asarray, t)
+        params = as_dev(ckpt["params"])
+        mem = as_dev(ckpt["mem"])
+        index_state = (
+            as_dev(ckpt["index_state"]) if ckpt["index_state"] != () else ()
+        )
+        if edge_feats is None:
+            edge_feats = jnp.zeros((cfg.n_edges, cfg.edge_dim), jnp.float32)
+        else:
+            edge_feats = jnp.asarray(edge_feats, jnp.float32)
+        nbr_index = ()
+        needs_adj = (
+            cfg.tppr_strategy == "pruning"
+            or cfg.embedding_module in ("graph_attention", "graph_sum")
+        )
+        if needs_adj:
+            if events is None:
+                raise ValueError(
+                    f"tppr_strategy={cfg.tppr_strategy!r} / embedding_module="
+                    f"{cfg.embedding_module!r} query an adjacency index; "
+                    "pass events=(sources, destinations, timestamps, "
+                    "edge_idxs) of the training stream"
+                )
+            from zebra_tpu.index.neighbor_finder import build_neighbor_index
+
+            nbr_index = build_neighbor_index(
+                events[0], events[1], events[2], events[3], cfg.n_nodes
+            )
+        return cls(cfg, params, mem, index_state, edge_feats, nbr_index,
+                   events=events, rebuild_every=rebuild_every)
+
+    @classmethod
     def from_trainer(cls, trainer, rebuild_every: int = 1) -> "LinkPredictor":
         copy = lambda t: jax.tree.map(jnp.copy, t) if t != () else ()
         fu = trainer.splits.full

@@ -13,6 +13,7 @@ checkpoints (raw pickled trees from round 1) load transparently."""
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import pickle
 from typing import Any
@@ -28,11 +29,14 @@ MAGIC = "zebra_tpu_checkpoint"
 VERSION = 4
 
 
-def _to_host(x: Any) -> np.ndarray:
+def _to_host(x: Any) -> Any:
     """Device → host. In a multi-process run, row-sharded node tables are not
     fully addressable from any one process; gather them collectively (every
     process must therefore reach save_checkpoint — it is a collective there,
-    like the phases themselves)."""
+    like the phases themselves). Non-array leaves (e.g. the Config dataclass)
+    pickle as-is."""
+    if dataclasses.is_dataclass(x):
+        return x
     if isinstance(x, jax.Array) and not x.is_fully_addressable:
         from jax.experimental import multihost_utils
 

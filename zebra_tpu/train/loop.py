@@ -744,6 +744,8 @@ class Trainer:
         if chunk is None:
             chunk = self._chunk_cursor
         save_checkpoint(path, {
+            "cfg": self.cfg,  # lets serving rebuild a predictor from the
+                              # file alone (LinkPredictor.from_checkpoint)
             "params": self.params,
             "opt_state": self.opt_state,
             "mem": self.mem,
