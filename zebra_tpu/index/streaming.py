@@ -26,6 +26,19 @@ denormal floats, which partitioned XLA programs may flush to zero; value
 conversion round-trips exactly for ids < 2^24 (16.7M — above the largest
 reference dataset's 7.8M edges; larger graphs need a split-row layout).
 
+Precision vs the reference's f64 host dicts (util.py:377-387) — measured at
+full Wiki-Talk length (7.8M events, ts span 2.3e8 s; scripts/drift_study.py,
+RESULTS.md round 3): f32 norm/weight drift stays flat along the stream
+(norm relative error ≤ ~7e-7 even on nodes touched 50k+ times — the
+norm recurrence norm·β+β is contractive, so error does not compound), and
+the extracted top-k sets match the f64 oracle with Jaccard p50 = 1.0.
+Entry *timestamps* are also f32: at t ≈ 2.3e8 s the ulp is 16 s, so a
+stored entry's ts (and hence the extraction's Δt = t_query − ts) quantizes
+by up to ±16 s. The reference's own extraction emits f32 Δt and its time
+encoder runs f32 cos at the same magnitudes, so downstream parity holds;
+only the stored-key precision differs. Merge dedup is unaffected (keys
+match on the unique edge index, not ts).
+
 where M = ensemble size (one (α, β) metric per member) and k = top-k
 capacity.
 
