@@ -96,9 +96,10 @@ def main():
     # chunk-aligned checkpoints: every non-final chunk keeps one static
     # shape (one jit compile); only the final remainder compiles separately
     marks = sorted({
-        max(args.chunk,
-            (args.n_events * (i + 1) // args.checkpoints)
-            // args.chunk * args.chunk)
+        min(args.n_events,
+            max(args.chunk,
+                (args.n_events * (i + 1) // args.checkpoints)
+                // args.chunk * args.chunk))
         for i in range(args.checkpoints - 1)
     } | {args.n_events})
     print(f"stream: {args.n_events} events, {seen_any.size} active nodes, "

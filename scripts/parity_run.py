@@ -253,8 +253,13 @@ def main():
         traj = " ".join(f"{v:.4f}" for v in r["val_ap"][: args.n_epoch])
         print(f"{label:26s} {traj:38s} {band(r['test_ap_runs']):>16s} "
               f"{band(r['nn_test_ap_runs']):>16s}")
-        if label != "reference" and ref["test_ap"] is not None:
+        if label != "reference" and None not in (
+            r["test_ap"], ref["test_ap"]
+        ):
             worst = max(worst, abs(r["test_ap"] - ref["test_ap"]))
+        if label != "reference" and None not in (
+            r["nn_test_ap"], ref["nn_test_ap"]
+        ):
             worst_nn = max(
                 worst_nn, abs(r["nn_test_ap"] - ref["nn_test_ap"])
             )

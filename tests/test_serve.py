@@ -236,4 +236,69 @@ def test_from_checkpoint_matches_from_trainer(tmp_path):
     import pytest
 
     with pytest.raises(ValueError, match="adjacency"):
-        LinkPredictor.from_checkpoint(path2)
+        LinkPredictor.from_checkpoint(
+            path2, edge_feats=np.asarray(tr2.edge_feats)
+        )
+
+
+def test_from_checkpoint_requires_real_edge_feats(tmp_path):
+    """A checkpoint trained WITH real edge features must refuse to serve
+    with silently-zeroed ones."""
+    import pytest
+
+    trainer = _make_trainer("streaming")  # edge_dim=4 real features
+    trainer.train_epoch()
+    path = str(tmp_path / "ef.ckpt")
+    trainer.save_state(path)
+    with pytest.raises(ValueError, match="edge features"):
+        LinkPredictor.from_checkpoint(path)
+
+
+def test_observe_fresh_edge_ids_use_zero_features():
+    """Edge ids beyond the training feature table (fresh serving events)
+    must read the zero row, not clamp to the last trained edge's features."""
+    import jax.numpy as jnp
+
+    from zebra_tpu.models.tgn import diffusion_static_input
+
+    trainer = _make_trainer("streaming")
+    cfg = trainer.cfg
+    ef = np.zeros((cfg.n_edges, cfg.edge_dim), np.float32)
+    ef[1:] = 1.0  # every real edge row nonzero; row 0 is the zero row
+    eidx = jnp.asarray([[[1, cfg.n_edges - 1, cfg.n_edges, cfg.n_edges + 7]]])
+    dt = jnp.zeros(eidx.shape, jnp.float32)
+    out = np.asarray(
+        diffusion_static_input(cfg, jnp.asarray(ef), eidx, dt)
+    )[0, 0, :, : cfg.edge_dim]
+    assert out[0].max() == 1.0 and out[1].max() == 1.0   # in-table rows
+    assert out[2].max() == 0.0 and out[3].max() == 0.0   # fresh ids -> zero
+
+
+def test_flush_index_keeps_static_arena_shape():
+    """Successive adjacency folds must keep one bucketed arena shape so the
+    jitted consumers don't recompile per observe->score cycle."""
+    trainer = _make_trainer("pruning")
+    trainer.train_epoch()
+    p = LinkPredictor.from_trainer(trainer)
+    full = trainer.splits.full
+    t0, e0 = float(full.timestamps[-1]), int(full.edge_idxs.max())
+    p.observe([1], [2], [t0 + 1.0], [e0 + 1])
+    shape1 = p.nbr_index.nbr.shape
+    p.observe([3], [4], [t0 + 2.0], [e0 + 2])
+    assert p.nbr_index.nbr.shape == shape1
+    # padded and unpadded indices answer queries identically
+    from zebra_tpu.index.neighbor_finder import build_neighbor_index
+    from zebra_tpu.index.pruning import pruned_topk
+    import jax.numpy as jnp
+
+    ev = p._events
+    exact = build_neighbor_index(ev[0], ev[1], ev[2], ev[3],
+                                 trainer.cfg.n_nodes)
+    nodes = jnp.asarray(full.sources[:8].astype(np.int32))
+    ts = jnp.asarray(np.full(8, t0 + 3.0, np.float32))
+    al = jnp.asarray(trainer.cfg.alpha_list, jnp.float32)
+    be = jnp.asarray(trainer.cfg.beta_list, jnp.float32)
+    qa = pruned_topk(p.nbr_index, al, be, nodes, ts, 5, 2, 5)
+    qb = pruned_topk(exact, al, be, nodes, ts, 5, 2, 5)
+    for a, b in zip(qa, qb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -236,6 +236,16 @@ class Config:
         branch is unrunnable there, tgn_model.py:64)."""
         return self.memory_dim if self.message_function == "mlp" else self.message_dim
 
+    @property
+    def needs_adjacency(self) -> bool:
+        """Whether this config queries a padded-CSR adjacency index: the
+        pruning strategy's bounded BFS and the recursive towers both do
+        (reference train.py:191, 245). Shared by the Trainer and
+        LinkPredictor.from_checkpoint so the two cannot desync."""
+        return self.tppr_strategy == "pruning" or self.embedding_module in (
+            "graph_attention", "graph_sum",
+        )
+
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
 

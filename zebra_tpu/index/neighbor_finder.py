@@ -30,10 +30,17 @@ class NeighborIndex(NamedTuple):
 
 
 def build_neighbor_index(
-    sources, destinations, timestamps, edge_idxs, n_nodes: int
+    sources, destinations, timestamps, edge_idxs, n_nodes: int,
+    capacity: int = 0,
 ) -> NeighborIndex:
     """Host-side construction (runs once per split, reference
-    get_neighbor_finder util.py:90-107)."""
+    get_neighbor_finder util.py:90-107).
+
+    ``capacity`` > the natural arena length pads the [T] arrays with zero
+    slots that no offset range ever references — all queries bound their
+    reads by ``offsets``. Serving's incremental folds use a bucketed
+    capacity so repeated rebuilds keep one static shape (each new shape
+    would recompile every jitted consumer — serve.flush_index)."""
     sources = np.asarray(sources, np.int64)
     destinations = np.asarray(destinations, np.int64)
     timestamps = np.asarray(timestamps, np.float64)
@@ -51,6 +58,12 @@ def build_neighbor_index(
     counts = np.bincount(owner, minlength=n_nodes)
     offsets = np.zeros(n_nodes + 1, np.int32)
     np.cumsum(counts, out=offsets[1:])
+
+    if capacity > len(owner):
+        pad = capacity - len(owner)
+        nbr = np.concatenate([nbr, np.zeros(pad, nbr.dtype)])
+        eidx = np.concatenate([eidx, np.zeros(pad, eidx.dtype)])
+        ts = np.concatenate([ts, np.zeros(pad, ts.dtype)])
 
     return NeighborIndex(
         nbr=jnp.asarray(nbr, jnp.int32),

@@ -180,7 +180,11 @@ def diffusion_static_input(cfg: Config, edge_feats, eidx, dt) -> jnp.ndarray:
     backward) was tried and measured SLOWER than letting remat recompute
     the gather + cosine chain under the matmuls (keeps the live set small)."""
     basis = time_basis(cfg.time_dim)
-    return jnp.concatenate([edge_feats[eidx], time_encode(dt, basis)], axis=-1)
+    # edge ids past the feature table (serving observe()s fresh events with
+    # fresh ids) read the zero padding row instead of XLA's clamp-to-last
+    # (row 0 is zero by the ml_{d}.npy format / the Trainer's fallback)
+    safe = jnp.where(eidx < edge_feats.shape[0], eidx, 0)
+    return jnp.concatenate([edge_feats[safe], time_encode(dt, basis)], axis=-1)
 
 
 def diffusion_embed(

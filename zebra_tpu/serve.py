@@ -113,15 +113,19 @@ class LinkPredictor:
             as_dev(ckpt["index_state"]) if ckpt["index_state"] != () else ()
         )
         if edge_feats is None:
+            if cfg.edge_dim > 1 and not cfg.ignore_edge_feats:
+                # the model was trained WITH real edge features; scoring
+                # with silently-zeroed ones would be finite but wrong
+                raise ValueError(
+                    f"this checkpoint was trained with {cfg.edge_dim}-dim "
+                    "edge features; pass edge_feats= (the training "
+                    "ml_{d}.npy matrix)"
+                )
             edge_feats = jnp.zeros((cfg.n_edges, cfg.edge_dim), jnp.float32)
         else:
             edge_feats = jnp.asarray(edge_feats, jnp.float32)
         nbr_index = ()
-        needs_adj = (
-            cfg.tppr_strategy == "pruning"
-            or cfg.embedding_module in ("graph_attention", "graph_sum")
-        )
-        if needs_adj:
+        if cfg.needs_adjacency:
             if events is None:
                 raise ValueError(
                     f"tppr_strategy={cfg.tppr_strategy!r} / embedding_module="
@@ -178,7 +182,11 @@ class LinkPredictor:
 
     def flush_index(self) -> None:
         """Fold all pending observed interactions into the adjacency index
-        (host-side rebuild; reference get_neighbor_finder util.py:90-107)."""
+        (host-side rebuild; reference get_neighbor_finder util.py:90-107).
+        The arena pads to a bucketed capacity so successive folds keep ONE
+        static shape — each new shape would recompile every jitted consumer
+        (pruned_topk, _score_candidates), and that compile, not the
+        O(E log E) rebuild, would dominate an observe→score cycle."""
         if not self._pending:
             return
         from zebra_tpu.index.neighbor_finder import build_neighbor_index
@@ -187,8 +195,11 @@ class LinkPredictor:
                 for i, base in enumerate(self._events)]
         self._events = tuple(cols)
         self._pending, self._pending_n = [], 0
+        arena = 2 * len(cols[0])  # both directions
+        bucket = 65536
         self.nbr_index = build_neighbor_index(
-            cols[0], cols[1], cols[2], cols[3], self.cfg.n_nodes
+            cols[0], cols[1], cols[2], cols[3], self.cfg.n_nodes,
+            capacity=-(-arena // bucket) * bucket,
         )
 
     def _queries(self, src, dst, t, with_neg: bool = True):

@@ -196,10 +196,7 @@ class Trainer:
         # adjacency indices: pruning queries and the recursive towers use the
         # train graph during training and the full graph during val/test
         # (reference train.py:191, 245)
-        needs_adjacency = cfg.tppr_strategy == "pruning" or (
-            cfg.embedding_module in ("graph_attention", "graph_sum")
-        )
-        if needs_adjacency:
+        if cfg.needs_adjacency:
             self.train_nbr_index = build_neighbor_index(
                 tr.sources, tr.destinations, tr.timestamps, tr.edge_idxs, cfg.n_nodes
             )

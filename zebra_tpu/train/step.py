@@ -401,11 +401,14 @@ def _build_messages(cfg, mem: MemoryState, edge_feats, src, dst, t, eidx,
         rcv_part = mem.memory[rcv]
 
     basis = time_basis(cfg.time_dim)
+    # out-of-table edge ids (serving ingest of fresh events) read the zero
+    # row, not XLA's clamp-to-last (models/tgn.py:diffusion_static_input)
+    e_safe = jnp.where(e2 < edge_feats.shape[0], e2, 0)
     msg = jnp.concatenate(
         parts
         + [
             rcv_part,
-            edge_feats[e2],
+            edge_feats[e_safe],
             time_encode(t2 - mem.last_update[snd], basis),
         ],
         axis=-1,
