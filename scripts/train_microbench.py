@@ -63,12 +63,13 @@ def main():
         data.sources, data.destinations, data.timestamps, data.edge_idxs,
         data.labels,
     )
-    cfg = Config(
+    base = dict(
         data="bench", bs=200, node_dim=100, time_dim=100, memory_dim=100,
         topk=20, alpha_list=(0.1, 0.1), beta_list=(0.05, 0.95),
         tppr_strategy="streaming", checkpoint_dir="/tmp/zebra_mb_ckpt",
-        **overrides,
     )
+    base.update(overrides)  # overrides may retarget the bench fields too
+    cfg = Config(**base)
     trainer = Trainer(cfg, splits, edge_feats)
     trainer.train_epoch()  # compile
     n = splits.train.n_interactions
@@ -77,7 +78,7 @@ def main():
         r = trainer.train_epoch()
         jax.block_until_ready(trainer.params)
         dt = time.time() - t0
-        print(f"epoch {dt:.3f}s  {n/dt:.0f} ev/s  "
+        print(f"epoch {dt:.3f}s  {n/dt:.0f} ev/s  ap={r.ap:.4f}  "
               f"(index_s {r.index_seconds:.3f})", flush=True)
 
 
