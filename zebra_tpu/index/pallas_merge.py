@@ -209,3 +209,30 @@ def merge_both_pallas(
     new_fields = new_fields.reshape(w, 2, m, 4, k)
     new_norm = onorm.reshape(w, 2, m)
     return new_fields, new_norm
+
+
+@functools.lru_cache(maxsize=None)
+def pallas_merge_supported(params: TpprParams, w: int) -> bool:
+    """Whether the kernel actually compiles for (α, β, k) at wave width
+    ``w`` on this backend.
+
+    The kernel is correct at any size in interpret mode (tested), but real
+    backends can reject large configurations at compile time — measured on
+    a v5e: M=2, k=40 at the default cap 64 (B=256 lanes, a [256, 40, 40]
+    dedup-match block plus the candidate buffers) crashes the TPU compiler
+    subprocess, while k≤20 is fine and a W=1 probe of the same k compiles —
+    so the probe must use the production wave width. A few seconds once per
+    config, persistent-cache hits afterwards; on failure the Trainer falls
+    back to the bit-identical XLA merge instead of crashing the run."""
+    m, k = len(params.alpha), params.k
+    try:
+        f3 = jnp.zeros((w, 3, m, 4, k), jnp.float32)
+        nsd = jnp.zeros((w, 2, m), jnp.float32)
+        one = jnp.ones((w,), jnp.int32)
+        out = merge_both_pallas(
+            f3, nsd, one, one * 2, one, jnp.ones((w,), jnp.float32), params
+        )
+        jax.block_until_ready(out)
+        return True
+    except Exception:
+        return False

@@ -210,10 +210,24 @@ class Trainer:
             cfg.alpha_list, cfg.beta_list, cfg.topk
         )
         # the fused Pallas merge runs compiled only on TPU backends
-        # (elsewhere it would fall to the slow interpreter)
+        # (elsewhere it would fall to the slow interpreter), and only for
+        # configurations the backend compiler accepts — measured on v5e,
+        # k=40 crashes the TPU compile helper while k≤20 is fine, so probe
+        # once (seconds, persistent-cache-hit afterwards) and fall back to
+        # the bit-identical XLA merge instead of crashing the run
         self._use_pallas = bool(
             cfg.pallas_merge and jax.default_backend() == "tpu"
         )
+        if self._use_pallas:
+            from zebra_tpu.index.pallas_merge import pallas_merge_supported
+
+            if not pallas_merge_supported(self._tppr_params, cfg.wave_cap):
+                logger.warning(
+                    "Pallas merge kernel does not compile for M=%d, k=%d "
+                    "on this backend; using the XLA merge (bit-identical, "
+                    "slower index scan)", cfg.n_tppr, cfg.topk,
+                )
+                self._use_pallas = False
         if cfg.debug_nans:
             jax.config.update("jax_debug_nans", True)
         jax.config.update("jax_default_prng_impl", cfg.prng_impl)
