@@ -148,3 +148,25 @@ def test_rank_topk_matches_argmax():
             rank_f[:, :, :, 0], base_f[:, :, :, 0], rtol=3e-7, atol=0
         )
         np.testing.assert_array_equal(np.asarray(rank_n), np.asarray(base_n))
+
+
+def test_blocked_grid_matches_single_block():
+    """block_b grids the lane axis into disjoint row blocks — same math on
+    the same rows, so results agree to float rounding (compiler FMA/fusion
+    choices differ by block shape, ~1 ulp). The grid exists because large
+    (k, wave-cap) single-block forms exceed the v5e compiler;
+    resolve_pallas_block probes for it."""
+    for m, k, block in ((2, 10, 16), (2, 20, 8), (1, 7, 6)):
+        w = 16  # B = 2*m*w lanes
+        params, fields3, norm_sd, src, dst, eidx, ts = _random_state_rows(
+            w, m, k, 30, 3
+        )
+        args = (fields3, norm_sd, jnp.asarray(src), jnp.asarray(dst),
+                jnp.asarray(eidx), jnp.asarray(ts), params)
+        base_f, base_n = merge_both_pallas(*args, interpret=True)
+        grid_f, grid_n = merge_both_pallas(*args, interpret=True,
+                                           block_b=block)
+        np.testing.assert_allclose(np.asarray(grid_f), np.asarray(base_f),
+                                   rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(grid_n), np.asarray(base_n),
+                                   rtol=1e-6)

@@ -140,7 +140,7 @@ def _merge_kernel(k, topk_impl,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("params", "interpret", "topk_impl")
+    jax.jit, static_argnames=("params", "interpret", "topk_impl", "block_b")
 )
 def merge_both_pallas(
     fields3: jnp.ndarray,   # f32 [W, 3, M, 4, k] gathered rows (src,dst,neg)
@@ -152,6 +152,14 @@ def merge_both_pallas(
     params: TpprParams,
     interpret: bool = False,
     topk_impl: str = None,  # "argmax" | "rank"; None → module default
+    block_b: int = 0,       # 0 = whole batch in one block; >0 = grid the
+                            # lane axis into blocks of ≤block_b rows (rounded
+                            # down to a divisor of B). Large k at full wave
+                            # cap crashes the v5e compiler in one block
+                            # (B=256, k=40 measured); ≤128-row blocks
+                            # compile — block choice is probed per config
+                            # (resolve_pallas_block); blocks touch disjoint
+                            # rows, so results agree to float rounding
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in batched replacement for vmap(_merge_both): returns
     (new fields [W, 2, M, 4, k], new norms [W, 2, M])."""
@@ -196,12 +204,27 @@ def merge_both_pallas(
         jax.ShapeDtypeStruct((b, 1), jnp.float32)
     ]
     kernel = functools.partial(_merge_kernel, k, topk_impl)
+    if block_b and block_b < b:
+        bb = block_b
+        while b % bb:     # largest divisor of B not above the request
+            bb -= 1
+        spec = lambda cols: pl.BlockSpec((bb, cols), lambda i: (i, 0),
+                                         memory_space=pltpu.VMEM)
+        grid_kw = dict(
+            grid=(b // bb,),
+            in_specs=[spec(k)] * 8 + [spec(1)] * 6,
+            out_specs=[spec(k)] * 4 + [spec(1)],
+        )
+    else:
+        grid_kw = dict(
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 14,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        )
     ow, oe, on, ot, onorm = pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 14,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         interpret=interpret,
+        **grid_kw,
     )(s1w, s1e, s1n, s1t, s2w, s2e, s2n, s2t, norm1, new_node, eidx_f, ts2,
       alpha2, beta2)
 
@@ -212,27 +235,33 @@ def merge_both_pallas(
 
 
 @functools.lru_cache(maxsize=None)
-def pallas_merge_supported(params: TpprParams, w: int) -> bool:
-    """Whether the kernel actually compiles for (α, β, k) at wave width
-    ``w`` on this backend.
+def resolve_pallas_block(params: TpprParams, w: int):
+    """The lane-block size the backend compiler accepts for (α, β, k) at
+    wave width ``w``: 0 (whole batch, the fast default), a bounded block
+    (128/64 — grids the kernel over disjoint row blocks, bit-invariant), or
+    None when nothing compiles (the caller falls back to the bit-identical
+    XLA merge).
 
     The kernel is correct at any size in interpret mode (tested), but real
-    backends can reject large configurations at compile time — measured on
-    a v5e: M=2, k=40 at the default cap 64 (B=256 lanes, a [256, 40, 40]
-    dedup-match block plus the candidate buffers) crashes the TPU compiler
-    subprocess, while k≤20 is fine and a W=1 probe of the same k compiles —
-    so the probe must use the production wave width. A few seconds once per
-    config, persistent-cache hits afterwards; on failure the Trainer falls
-    back to the bit-identical XLA merge instead of crashing the run."""
+    backends can reject large single-block configurations — measured on a
+    v5e: M=2, k=40 at the default cap 64 (B=256 lanes) crashes the TPU
+    compiler subprocess, while the same k at B≤128 compiles — so the probe
+    runs at the production wave width and walks down block sizes. A few
+    seconds once per config, persistent-cache hits afterwards."""
     m, k = len(params.alpha), params.k
-    try:
-        f3 = jnp.zeros((w, 3, m, 4, k), jnp.float32)
-        nsd = jnp.zeros((w, 2, m), jnp.float32)
-        one = jnp.ones((w,), jnp.int32)
-        out = merge_both_pallas(
-            f3, nsd, one, one * 2, one, jnp.ones((w,), jnp.float32), params
-        )
-        jax.block_until_ready(out)
-        return True
-    except Exception:
-        return False
+    f3 = jnp.zeros((w, 3, m, 4, k), jnp.float32)
+    nsd = jnp.zeros((w, 2, m), jnp.float32)
+    one = jnp.ones((w,), jnp.int32)
+    ts = jnp.ones((w,), jnp.float32)
+    for block in (0, 128, 64):
+        if block and block >= 2 * m * w:
+            continue  # same program as an already-failed larger block
+        try:
+            out = merge_both_pallas(
+                f3, nsd, one, one * 2, one, ts, params, block_b=block
+            )
+            jax.block_until_ready(out)
+            return block
+        except Exception:
+            continue
+    return None

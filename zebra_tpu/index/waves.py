@@ -58,7 +58,8 @@ def wave_flat_index(
 
 def _wave_step(state: TpprState, src, dst, neg, t, eidx, valid,
                params: TpprParams,
-               use_pallas: bool = False) -> Tuple[TpprState, jnp.ndarray]:
+               use_pallas: bool = False,
+               pallas_block: int = 0) -> Tuple[TpprState, jnp.ndarray]:
     """One wave: batched extraction + SANTA update for up to W disjoint
     edges. Returns raw packed rows [W, 3, F] (pre-update, = extraction).
 
@@ -77,7 +78,8 @@ def _wave_step(state: TpprState, src, dst, neg, t, eidx, valid,
 
         interp = jax.default_backend() != "tpu"
         new_fields, new_norm = merge_both_pallas(
-            fields3, norm3[:, :2], src, dst, eidx, t, params, interp
+            fields3, norm3[:, :2], src, dst, eidx, t, params, interp,
+            block_b=pallas_block,
         )
     else:
         merge = jax.vmap(
@@ -114,6 +116,8 @@ def _wave_scan_chunk(
     n_waves: int,
     cap: int,
     use_pallas: bool = False,
+    pallas_block: int = 0,   # lane-block grid for the Pallas merge (0 =
+                             # whole batch; resolve_pallas_block)
 ) -> Tuple[TpprState, jnp.ndarray]:
     """Scatter the chunk into wave layout, scan the waves, and gather the
     emitted extraction rows back to stream order. One XLA program.
@@ -144,7 +148,8 @@ def _wave_scan_chunk(
 
     def step(carry, wv):
         s, d, n, tt, e, v = wv
-        return _wave_step(carry, s, d, n, tt, e, v, params, use_pallas)
+        return _wave_step(carry, s, d, n, tt, e, v, params, use_pallas,
+                          pallas_block)
 
     state, rows = jax.lax.scan(
         step, state, (w_src, w_dst, w_neg, w_t, w_eidx, w_valid), unroll=2
@@ -168,7 +173,8 @@ def wave_scan_chunk(*args, **kwargs):
     if _wave_scan_chunk_jit is None:
         _wave_scan_chunk_jit = functools.partial(
             jax.jit,
-            static_argnames=("params", "n_waves", "cap", "use_pallas"),
+            static_argnames=("params", "n_waves", "cap", "use_pallas",
+                             "pallas_block"),
             donate_argnames=("state",),
             compiler_options=resolve_compiler_options(),
         )(_wave_scan_chunk)

@@ -218,16 +218,27 @@ class Trainer:
         self._use_pallas = bool(
             cfg.pallas_merge and jax.default_backend() == "tpu"
         )
+        self._pallas_block = 0
         if self._use_pallas:
-            from zebra_tpu.index.pallas_merge import pallas_merge_supported
+            from zebra_tpu.index.pallas_merge import resolve_pallas_block
 
-            if not pallas_merge_supported(self._tppr_params, cfg.wave_cap):
+            block = resolve_pallas_block(self._tppr_params, cfg.wave_cap)
+            if block is None:
                 logger.warning(
                     "Pallas merge kernel does not compile for M=%d, k=%d "
-                    "on this backend; using the XLA merge (bit-identical, "
-                    "slower index scan)", cfg.n_tppr, cfg.topk,
+                    "on this backend at any block size; using the XLA "
+                    "merge (bit-identical, slower index scan)",
+                    cfg.n_tppr, cfg.topk,
                 )
                 self._use_pallas = False
+            else:
+                self._pallas_block = block
+                if block:
+                    logger.info(
+                        "Pallas merge gridded into %d-lane blocks for "
+                        "M=%d, k=%d (single-block form exceeds this "
+                        "backend's compiler)", block, cfg.n_tppr, cfg.topk,
+                    )
         if cfg.debug_nans:
             jax.config.update("jax_debug_nans", True)
         jax.config.update("jax_default_prng_impl", cfg.prng_impl)
@@ -546,7 +557,7 @@ class Trainer:
                     (self.params, self.opt_state, self.mem, index_state,
                      metrics) = run_phase_fused(
                         run_cfg, train, (hi - lo) // cfg.bs, n_waves,
-                        self._use_pallas,
+                        self._use_pallas, self._pallas_block,
                         self.params, self.opt_state, self.mem, index_state,
                         jax.random.fold_in(rng, ci), self.edge_feats,
                         chunk_stream, flat_dev,
@@ -558,7 +569,7 @@ class Trainer:
                         chunk_stream.src, chunk_stream.dst, chunk_stream.neg,
                         chunk_stream.t, chunk_stream.eidx, chunk_stream.valid,
                         flat_dev, n_waves, cfg.wave_cap,
-                        self._use_pallas,
+                        self._use_pallas, self._pallas_block,
                     )
                     if cfg.profile:
                         # exact index/tower split, at the cost of overlap

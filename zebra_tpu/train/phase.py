@@ -254,6 +254,7 @@ def _run_phase_fused(
     n_batches: int,
     n_waves: int,
     use_pallas: bool,
+    pallas_block: int,
     params,
     opt_state,
     mem: MemoryState,
@@ -277,7 +278,7 @@ def _run_phase_fused(
     index_state, queries = _wave_scan_chunk(
         index_state, tppr_params,
         stream.src, stream.dst, stream.neg, stream.t, stream.eidx,
-        stream.valid, flat, n_waves, cfg.wave_cap, use_pallas,
+        stream.valid, flat, n_waves, cfg.wave_cap, use_pallas, pallas_block,
     )
     params, opt_state, mem, _, metrics = _run_phase(
         cfg, train, n_batches, params, opt_state, mem, (), rng,
@@ -311,7 +312,7 @@ def run_phase_fused(*args, **kwargs):
         _run_phase_fused_jit = functools.partial(
             jax.jit,
             static_argnames=("cfg", "train", "n_batches", "n_waves",
-                             "use_pallas"),
+                             "use_pallas", "pallas_block"),
             donate_argnames=("params", "opt_state", "mem", "index_state"),
             compiler_options=resolve_compiler_options(),
         )(_run_phase_fused)
