@@ -147,12 +147,16 @@ def run_phase_on_mesh(mesh, ckpt_path=None):
 
 def main():
     port, pid, n_proc, n_local, out = sys.argv[1:6]
+    mode = sys.argv[6] if len(sys.argv) > 6 else "phase"
     _force_cpu(int(n_local))
     import jax
 
     jax.distributed.initialize(
         f"localhost:{port}", num_processes=int(n_proc), process_id=int(pid)
     )
+    if mode == "trainer":
+        run_trainer(out)
+        return
     from jax.sharding import Mesh
 
     mesh = Mesh(np.array(jax.devices()), ("data",))
@@ -160,6 +164,64 @@ def main():
     np.savez(out, mem=mem_tbl, index=idx_tbl, **ms)
     print(f"worker {pid}: ok over {len(jax.devices())} global devices",
           flush=True)
+
+
+
+
+
+def run_trainer(out):
+    """FLAGSHIP-path worker: a full Trainer over the global mesh — wave
+    pipeline (owner-aligned auto-ON under multi-process), superchunk
+    dispatch, train epoch + the full validate protocol. Deterministic
+    construction, so every process builds identical host inputs; Trainer's
+    own _to_dev puts them up as global replicated arrays."""
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "threefry2x32")
+
+    from jax.experimental import multihost_utils
+
+    from zebra_tpu.config import Config
+    from zebra_tpu.data.dataset import split_data
+    from zebra_tpu.data.synthetic import synthetic_stream
+    from zebra_tpu.train.loop import Trainer, resolve_owner_aligned
+
+    data, edge_feats = synthetic_stream(
+        n_events=900, n_users=30, n_items=30, edge_dim=4, seed=0
+    )
+    splits = split_data(
+        data.sources, data.destinations, data.timestamps, data.edge_idxs,
+        data.labels,
+    )
+    cfg = Config(
+        data="mp_trainer", bs=25, node_dim=8, time_dim=8, memory_dim=8,
+        topk=3, alpha_list=(0.1, 0.2), beta_list=(0.9, 0.8),
+        tppr_strategy="streaming", index_chunk=100, seed=5,
+        prng_impl="threefry2x32",
+        checkpoint_dir="/tmp/zebra_mp_trainer_ckpt",
+    )
+    trainer = Trainer(cfg, splits, edge_feats)
+    # the auto policy must have engaged under multi-process
+    aligned = resolve_owner_aligned(cfg)
+    assert aligned == (jax.process_count() > 1), aligned
+
+    r1 = trainer.train_epoch()
+    r2 = trainer.train_epoch()
+    trans, induct = trainer.validate()
+
+    def host(x):
+        if x.is_fully_addressable:
+            return np.asarray(x)
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+    np.savez(
+        out,
+        # bf16 does not survive an npz round trip (loads as a void dtype)
+        mem=host(trainer.mem.memory).astype(np.float32),
+        index=host(trainer.index_state.data),
+        scalars=np.asarray([r1.loss, r2.loss, r2.ap, trans.ap, induct.ap],
+                           np.float64),
+    )
 
 
 if __name__ == "__main__":

@@ -142,7 +142,25 @@ class Trainer:
             )
         self.cfg = cfg
         self.splits = splits
-        self.edge_feats = jnp.asarray(edge_feats, jnp.float32)
+
+        # multi-device: replicate params/optimizer, row-shard the per-node
+        # tables; XLA inserts the collectives inside the fused phases
+        # (SURVEY.md §7 — all-new design, the reference is single-GPU).
+        # Built before any device upload: under multi-CONTROLLER execution
+        # every upload must be an explicitly global (replicated) array —
+        # a plain jnp.asarray is process-local and cannot feed a jit that
+        # spans processes (see _to_dev).
+        self._mesh = None
+        if cfg.n_devices > 1 or (cfg.n_devices == 0 and len(jax.devices()) > 1):
+            from zebra_tpu.parallel import make_mesh
+
+            self._mesh = make_mesh(cfg.n_devices)
+        self._multiproc = (
+            self._mesh is not None
+            and len(set(d.process_index for d in self._mesh.devices.flat)) > 1
+        )
+
+        self.edge_feats = self._to_dev(np.asarray(edge_feats, np.float32))
 
         # samplers (reference train.py:140-144; inductive val reuses the val
         # sampler, train.py:266)
@@ -169,10 +187,10 @@ class Trainer:
         # every epoch.
         fu_full = splits.full
         self._full_dev = (
-            jnp.asarray(np.asarray(fu_full.sources, np.int32)),
-            jnp.asarray(np.asarray(fu_full.destinations, np.int32)),
-            jnp.asarray(np.asarray(fu_full.timestamps, np.float32)),
-            jnp.asarray(np.asarray(fu_full.edge_idxs, np.int32)),
+            self._to_dev(np.asarray(fu_full.sources, np.int32)),
+            self._to_dev(np.asarray(fu_full.destinations, np.int32)),
+            self._to_dev(np.asarray(fu_full.timestamps, np.float32)),
+            self._to_dev(np.asarray(fu_full.edge_idxs, np.int32)),
         )
         max_eidx = int(np.max(fu_full.edge_idxs)) if fu_full.n_interactions else 0
         self._pos_of_eidx = np.zeros(max_eidx + 1, np.int64)
@@ -242,18 +260,9 @@ class Trainer:
         if cfg.debug_nans:
             jax.config.update("jax_debug_nans", True)
         jax.config.update("jax_default_prng_impl", cfg.prng_impl)
-        self.rng = jax.random.PRNGKey(cfg.seed)
+        self.rng = self._to_dev(np.asarray(jax.random.PRNGKey(cfg.seed)))
         if not cfg.enable_random:
             np.random.seed(cfg.seed)
-
-        # multi-device: replicate params/optimizer, row-shard the per-node
-        # tables; XLA inserts the collectives inside the fused phases
-        # (SURVEY.md §7 — all-new design, the reference is single-GPU).
-        self._mesh = None
-        if cfg.n_devices > 1 or (cfg.n_devices == 0 and len(jax.devices()) > 1):
-            from zebra_tpu.parallel import make_mesh
-
-            self._mesh = make_mesh(cfg.n_devices)
 
         self.rng, init_rng = jax.random.split(self.rng)
         self.params = init_tgn_params(init_rng, cfg)
@@ -307,6 +316,21 @@ class Trainer:
         self._fit_state: Optional[Dict] = None
 
     # ---------------------------------------------------------------- helpers
+
+    def _to_dev(self, x):
+        """Upload a host array as the phases expect it: a plain device put
+        single-controller, an explicitly GLOBAL replicated array when the
+        mesh spans processes (multi-controller jits reject process-local
+        inputs; every process calls this with identical host data — the
+        negative-base broadcast in __init__ guarantees it for the one
+        nondeterministic input)."""
+        if self._multiproc:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            return jax.device_put(
+                x, NamedSharding(self._mesh, PartitionSpec())
+            )
+        return jnp.asarray(x)
 
     def _apply_shardings(self):
         if self._mesh is None:
@@ -371,9 +395,9 @@ class Trainer:
         valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
         stream = _gather_stream(
             self._full_dev,
-            jnp.asarray(p(pos, np.int32)),
-            jnp.asarray(p(negs, np.int32)),
-            jnp.asarray(valid),
+            self._to_dev(p(pos, np.int32)),
+            self._to_dev(p(negs, np.int32)),
+            self._to_dev(valid),
         )
         host = {
             "src": p(data.sources, np.int32),
@@ -432,7 +456,7 @@ class Trainer:
         for size, v, flat_valid, _ in raw:
             flat = np.full(size, hwm * cfg.wave_cap, np.int32)
             flat[v] = flat_valid
-            scheds.append((jnp.asarray(flat), hwm))
+            scheds.append((self._to_dev(flat), hwm))
         return scheds
 
     def _prepare_train_epoch(self, epoch_id: int):
@@ -442,7 +466,7 @@ class Trainer:
         the H2D transfers — ~25% of epoch wall time on tunneled deployments —
         hide under the device compute of the running epoch."""
         negs = self._draw_train_negs(epoch_id)
-        negs_dev = jnp.asarray(negs)
+        negs_dev = self._to_dev(negs)
         use_waves = (
             self.cfg.embedding_module == "diffusion"
             and self.cfg.tppr_strategy == "streaming"
@@ -497,7 +521,7 @@ class Trainer:
             self._train_prefetch = None
             self._epoch_negs = negs
             if negs_dev is None:
-                negs_dev = jnp.asarray(negs)
+                negs_dev = self._to_dev(negs)
             t_index += time.time() - ti0
             stream = stream._replace(neg=negs_dev)
             host = dict(host, neg=negs)
@@ -788,7 +812,7 @@ class Trainer:
         ``chunk`` to ``train_epoch(start_chunk=...)`` to finish a partially
         trained epoch."""
         ckpt = load_checkpoint(path)
-        as_dev = lambda t: jax.tree.map(jnp.asarray, t)
+        as_dev = lambda t: jax.tree.map(self._to_dev, t)
         self.params = as_dev(ckpt["params"])
         self.opt_state = as_dev(ckpt["opt_state"])
         self.mem = as_dev(ckpt["mem"])
