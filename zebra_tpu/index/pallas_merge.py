@@ -262,6 +262,11 @@ def resolve_pallas_block(params: TpprParams, w: int):
             )
             jax.block_until_ready(out)
             return block
+        except (ValueError, TypeError):
+            # trace-time configuration errors (e.g. a bad ZEBRA_PALLAS_TOPK)
+            # must stay loud — only backend compile/runtime failures mean
+            # "this block size doesn't work here"
+            raise
         except Exception:
             continue
     return None

@@ -237,10 +237,25 @@ class Trainer:
             cfg.pallas_merge and jax.default_backend() == "tpu"
         )
         self._pallas_block = 0
+        # only the streaming-diffusion wave path runs the merge kernel —
+        # other configs skip the probe (it costs real backend compiles)
+        if cfg.embedding_module != "diffusion" or cfg.tppr_strategy != "streaming":
+            self._use_pallas = False
         if self._use_pallas:
             from zebra_tpu.index.pallas_merge import resolve_pallas_block
 
             block = resolve_pallas_block(self._tppr_params, cfg.wave_cap)
+            if jax.process_count() > 1:
+                # every process must compile the SAME global program: a
+                # transient probe failure on one host would otherwise pick a
+                # different kernel form and deadlock the first collective —
+                # process 0's outcome wins (same pattern as _neg_base)
+                from jax.experimental import multihost_utils
+
+                block = int(multihost_utils.broadcast_one_to_all(
+                    np.int64(-1 if block is None else block)
+                ))
+                block = None if block < 0 else block
             if block is None:
                 logger.warning(
                     "Pallas merge kernel does not compile for M=%d, k=%d "
