@@ -89,7 +89,11 @@ def count_before(index: NeighborIndex, nodes: jnp.ndarray, cuts: jnp.ndarray
         below = active & (index.ts[mid] < cuts)
         return jnp.where(below, mid + 1, lo), jnp.where(active & ~below, mid, hi)
 
-    lo, hi = jax.lax.fori_loop(0, 32, body, (lo0, hi0))
+    # ⌈log2⌉ of the largest possible slice bounds the search exactly; the
+    # arena length is static, so this saves the dead iterations of a fixed
+    # 32-step loop (each costs a [Q] gather on every lane)
+    steps = max(1, int(np.ceil(np.log2(max(2, index.ts.shape[0])))))
+    lo, hi = jax.lax.fori_loop(0, steps, body, (lo0, hi0))
     return lo
 
 
