@@ -121,3 +121,17 @@ def test_fit_resume_from_state(tmp_path):
         assert np.isclose(full[k], resumed[k], rtol=1e-5, atol=1e-6), (
             k, full[k], resumed[k],
         )
+
+
+def test_config_upgrade_fills_missing_fields():
+    """Configs unpickled from older checkpoints lack fields added since; the
+    upgrade path must fill defaults and restore hashability (static-jit-arg
+    use breaks on a missing dataclass attribute)."""
+    from zebra_tpu.config import Config
+
+    cfg = Config(data="legacy", topk=7)
+    object.__delattr__(cfg, "real_edge_feats")  # simulate a pre-flag pickle
+    up = Config.upgrade(cfg)
+    assert up.real_edge_feats is None
+    assert up.data == "legacy" and up.topk == 7
+    hash(up)  # usable as a static jit argument again

@@ -136,3 +136,31 @@ def test_dedup_paths_agree(monkeypatch):
 
     for a, b in zip(out_matrix, out_sorted):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+def test_count_before_power_of_two_arena_converges():
+    """A slice of length n needs floor(log2 n)+1 halvings; the previous
+    ceil(log2 T) bound was one short when T is an exact power of two and one
+    node owns the whole arena (all-self-loop degenerate stream), returning an
+    unconverged lower bound for some cuts (ADVICE r3)."""
+    e = 4  # self-loops on node 1 -> arena = 2e = 8 slots, all owned by node 1
+    src = np.ones(e, np.int64)
+    dst = np.ones(e, np.int64)
+    ts = np.arange(1, e + 1, dtype=np.float64)
+    eidx = np.arange(1, e + 1, dtype=np.int64)
+    idx = build_neighbor_index(src, dst, ts, eidx, n_nodes=2)
+    assert idx.ts.shape[0] == 8  # exact power of two
+
+    # arena ts (node 1's slice) = [1,1,2,2,3,3,4,4]; sweep every cut
+    arena = np.sort(np.concatenate([ts, ts]))
+    cuts = np.arange(0.5, 5.0, 0.5, dtype=np.float32)
+    nodes = jnp.ones(len(cuts), jnp.int32)
+    got = np.asarray(count_before(idx, nodes, jnp.asarray(cuts)))
+    want = np.searchsorted(arena, cuts, side="left")
+    np.testing.assert_array_equal(got, want)
+
+    # and the newest neighbor below a mid-slice cut is actually returned
+    nbr, _, nts, valid, _ = most_recent_neighbors(
+        idx, jnp.asarray([1], jnp.int32), jnp.asarray([1.5], jnp.float32), 3
+    )
+    assert bool(valid[0, 0]) and float(nts[0, 0]) == 1.0

@@ -280,10 +280,15 @@ def test_flush_index_keeps_static_arena_shape():
     trainer = _make_trainer("pruning")
     trainer.train_epoch()
     p = LinkPredictor.from_trainer(trainer)
+    # the INITIAL arena is pre-padded to the fold bucket, so the very first
+    # flush keeps the shape too (no one-off recompile of jitted consumers)
+    shape0 = p.nbr_index.nbr.shape
+    assert shape0[0] % 65536 == 0
     full = trainer.splits.full
     t0, e0 = float(full.timestamps[-1]), int(full.edge_idxs.max())
     p.observe([1], [2], [t0 + 1.0], [e0 + 1])
     shape1 = p.nbr_index.nbr.shape
+    assert shape1 == shape0
     p.observe([3], [4], [t0 + 2.0], [e0 + 2])
     assert p.nbr_index.nbr.shape == shape1
     # padded and unpadded indices answer queries identically
@@ -302,3 +307,33 @@ def test_flush_index_keeps_static_arena_shape():
     qb = pruned_topk(exact, al, be, nodes, ts, 5, 2, 5)
     for a, b in zip(qa, qb):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_from_checkpoint_refuses_real_1dim_edge_feats(tmp_path):
+    """edge_dim alone cannot tell a genuine 1-dim feature matrix from the
+    zero placeholder; the Config's real_edge_feats provenance flag must carry
+    the distinction into checkpoints (ADVICE r3)."""
+    import pytest
+
+    trainer = _make_trainer("streaming", edge_dim=1)
+    assert trainer.cfg.real_edge_feats is True
+    trainer.train_epoch()
+    path = str(tmp_path / "ef1.ckpt")
+    trainer.save_state(path)
+    with pytest.raises(ValueError, match="edge features"):
+        LinkPredictor.from_checkpoint(path)
+
+
+def test_from_checkpoint_zero_feats_serves_without_matrix(tmp_path):
+    """ignore_edge_feats training (SNAP-style) must serve from the checkpoint
+    alone — no edge_feats argument, no warning-worthy ambiguity."""
+    trainer = _make_trainer("streaming", ignore_edge_feats=True)
+    assert trainer.cfg.real_edge_feats is False
+    trainer.train_epoch()
+    path = str(tmp_path / "ef0.ckpt")
+    trainer.save_state(path)
+    p = LinkPredictor.from_checkpoint(path)
+    test = trainer.splits.test
+    probs = p.score(test.sources[:8], test.destinations[:8],
+                    test.timestamps[:8])
+    assert np.all(np.isfinite(probs))

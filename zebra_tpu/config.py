@@ -65,6 +65,14 @@ class Config:
     # ---- feature handling (reference train.py:51-52) ----
     ignore_edge_feats: bool = False
     ignore_node_feats: bool = False
+    real_edge_feats: Optional[bool] = None  # set by the Trainer: whether a
+                                     # genuine edge-feature matrix was supplied
+                                     # at training time. edge_dim alone cannot
+                                     # tell a real 1-dim feature from the zero
+                                     # placeholder; serving keys its
+                                     # missing-features guard off this.
+                                     # None = unknown (config from a
+                                     # pre-flag checkpoint)
 
     # ---- debugging / observability ----
     debug_nans: bool = False         # enable jax NaN checks (SURVEY.md §5:
@@ -248,6 +256,20 @@ class Config:
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
+
+    @classmethod
+    def upgrade(cls, cfg: "Config") -> "Config":
+        """Rebuild a Config unpickled from an older checkpoint. Pickle
+        restores instance state without __init__, so fields added since the
+        checkpoint was written are simply absent — and would break hashing /
+        static-jit-arg use. Re-construct with defaults for the missing ones."""
+        missing = object()
+        kw = {}
+        for f in dataclasses.fields(cls):
+            v = getattr(cfg, f.name, missing)
+            if v is not missing:
+                kw[f.name] = v
+        return cls(**kw)
 
     def run_name(self) -> str:
         """Derived config string doubling as log filename (reference train.py:94-107)."""

@@ -73,6 +73,21 @@ def build_neighbor_index(
     )
 
 
+def pad_arena(index: NeighborIndex, capacity: int) -> NeighborIndex:
+    """Zero-pad the [T] arena arrays to ``capacity`` — equivalent to having
+    built with ``build_neighbor_index(..., capacity=capacity)`` (no offset
+    range ever references the tail). Serving pads a naturally-sized index to
+    the bucketed capacity its incremental folds use, so the very first fold
+    does not change the arena shape and recompile every jitted consumer."""
+    t = int(index.ts.shape[0])
+    if capacity <= t:
+        return index
+    pad = capacity - t
+    z = lambda a: jnp.concatenate([a, jnp.zeros((pad,), a.dtype)])
+    return NeighborIndex(nbr=z(index.nbr), eidx=z(index.eidx),
+                         ts=z(index.ts), offsets=index.offsets)
+
+
 def count_before(index: NeighborIndex, nodes: jnp.ndarray, cuts: jnp.ndarray
                  ) -> jnp.ndarray:
     """For each (node, cut) pair, the index one past the last entry with
@@ -89,10 +104,14 @@ def count_before(index: NeighborIndex, nodes: jnp.ndarray, cuts: jnp.ndarray
         below = active & (index.ts[mid] < cuts)
         return jnp.where(below, mid + 1, lo), jnp.where(active & ~below, mid, hi)
 
-    # ⌈log2⌉ of the largest possible slice bounds the search exactly; the
-    # arena length is static, so this saves the dead iterations of a fixed
-    # 32-step loop (each costs a [Q] gather on every lane)
-    steps = max(1, int(np.ceil(np.log2(max(2, index.ts.shape[0])))))
+    # A slice of length n needs ⌊log2 n⌋+1 halvings in the worst case (each
+    # step shrinks the interval to ≤⌊n/2⌋); bounding by the static arena
+    # length T still saves the dead iterations of a fixed 32-step loop (each
+    # costs a [Q] gather on every lane). ⌈log2 T⌉ is one short for a length-T
+    # slice when T is an exact power of two — only reachable via all-self-loop
+    # streams, whose paired timestamps happen to converge anyway (fuzzed), but
+    # one extra cheap iteration makes the bound unconditional.
+    steps = int(np.floor(np.log2(max(1, index.ts.shape[0])))) + 1
     lo, hi = jax.lax.fori_loop(0, steps, body, (lo0, hi0))
     return lo
 

@@ -41,6 +41,17 @@ from zebra_tpu.train.step import (
 )
 
 
+_ARENA_BUCKET = 65536
+
+
+def _arena_capacity(n_events: int) -> int:
+    """Bucketed adjacency-arena capacity (2·E, both directions, rounded up to
+    the bucket) — ONE static shape across incremental folds, so observe()'s
+    rebuilds never recompile the jitted consumers (pruned_topk,
+    _score_candidates)."""
+    return -(-(2 * n_events) // _ARENA_BUCKET) * _ARENA_BUCKET
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _score_candidates(cfg: Config, params, mem, edge_feats, nodes2, times2,
                       q: Optional[TpprQueries], nbr_index):
@@ -86,6 +97,14 @@ class LinkPredictor:
         self._pending_n = 0
         self.rebuild_every = max(1, rebuild_every)
         self._warned_static = False
+        if self._events is not None and self.nbr_index != ():
+            # pre-pad a naturally-sized arena to the bucketed capacity the
+            # folds use, so the FIRST flush_index keeps the arena shape too
+            from zebra_tpu.index.neighbor_finder import pad_arena
+
+            self.nbr_index = pad_arena(
+                self.nbr_index, _arena_capacity(len(self._events[0]))
+            )
 
     @classmethod
     def from_checkpoint(cls, path: str, cfg: Optional[Config] = None,
@@ -113,7 +132,21 @@ class LinkPredictor:
             as_dev(ckpt["index_state"]) if ckpt["index_state"] != () else ()
         )
         if edge_feats is None:
-            if cfg.edge_dim > 1 and not cfg.ignore_edge_feats:
+            real = cfg.real_edge_feats
+            if real is None:
+                # pre-flag checkpoint: fall back to the width heuristic —
+                # which cannot tell a genuine 1-dim feature from the zero
+                # placeholder, so say so
+                real = cfg.edge_dim > 1 and not cfg.ignore_edge_feats
+                if cfg.edge_dim == 1 and not cfg.ignore_edge_feats:
+                    logger.warning(
+                        "%s predates feature-provenance tracking and has "
+                        "edge_dim=1: cannot tell whether it was trained "
+                        "with a real 1-dim edge feature. Scoring with "
+                        "zeroed features; pass edge_feats= if the training "
+                        "run had a ml_{d}.npy matrix.", path,
+                    )
+            if real:
                 # the model was trained WITH real edge features; scoring
                 # with silently-zeroed ones would be finite but wrong
                 raise ValueError(
@@ -195,11 +228,9 @@ class LinkPredictor:
                 for i, base in enumerate(self._events)]
         self._events = tuple(cols)
         self._pending, self._pending_n = [], 0
-        arena = 2 * len(cols[0])  # both directions
-        bucket = 65536
         self.nbr_index = build_neighbor_index(
             cols[0], cols[1], cols[2], cols[3], self.cfg.n_nodes,
-            capacity=-(-arena // bucket) * bucket,
+            capacity=_arena_capacity(len(cols[0])),
         )
 
     def _queries(self, src, dst, t, with_neg: bool = True):

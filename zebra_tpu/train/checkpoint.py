@@ -73,4 +73,13 @@ def load_checkpoint(path: str) -> Any:
             "layout predates v4 (compact message rows) and cannot be "
             "loaded by this build"
         )
-    return payload["tree"]
+    tree = payload["tree"]
+    if isinstance(tree, dict):
+        from zebra_tpu.config import Config
+
+        cfg = tree.get("cfg")
+        if isinstance(cfg, Config):
+            # fill in Config fields added since the checkpoint was written
+            # (pickle restores state without __init__)
+            tree["cfg"] = Config.upgrade(cfg)
+    return tree

@@ -125,9 +125,11 @@ class Trainer:
         # rows are never referenced by real ids.
         n_nodes = -(-(splits.n_nodes + 1) // 128) * 128
         cfg = cfg.replace(n_nodes=n_nodes, n_edges=splits.n_edges + 1)
+        real_edge_feats = edge_feats is not None and not cfg.ignore_edge_feats
         if edge_feats is None or cfg.ignore_edge_feats:
             edge_feats = np.zeros((cfg.n_edges, 1), np.float32)
-        cfg = cfg.replace(edge_dim=edge_feats.shape[1])
+        cfg = cfg.replace(edge_dim=edge_feats.shape[1],
+                          real_edge_feats=real_edge_feats)
         if node_feats is not None and not cfg.ignore_node_feats:
             # matches the reference's active path, which passes
             # node_features=None to the diffusion module and uses memory

@@ -161,11 +161,14 @@ def make_lazy_plan(cfg: Config, q, nodes3) -> LazyPlan:
     boundaries come from one merged sort (searchsorted method='sort')."""
     ids = q.nbr.reshape(-1)
     s_total = ids.shape[0]
-    assert s_total == lazy_position_count(cfg), (
-        "query layout desynced from lazy_position_count "
-        f"({s_total} positions vs {lazy_position_count(cfg)}) — the "
-        "Trainer's overflow-snapshot gate keys off that count"
-    )
+    if s_total != lazy_position_count(cfg):
+        # ValueError, not assert: the Trainer's overflow-snapshot gate keys
+        # off this count, so the guard must survive `python -O`
+        raise ValueError(
+            "query layout desynced from lazy_position_count "
+            f"({s_total} positions vs {lazy_position_count(cfg)}) — the "
+            "Trainer's overflow-snapshot gate keys off that count"
+        )
     cap = resolve_lazy_cap(cfg, s_total)
     if not cap:
         # per-position mode needs only membership: key-only sort + binary
