@@ -272,3 +272,42 @@ def test_wave_count_padding_is_invariant():
         outs.append((np.asarray(s.data), np.asarray(rows)))
     np.testing.assert_array_equal(outs[0][0], outs[1][0])
     np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+
+def test_multi_neg_wave_scan_matches_per_seed_sequential():
+    """Seed-parallel extraction: ONE wave scan scheduled over S negative
+    streams must (a) leave the index state bit-identical to any single-seed
+    scan (negatives are extraction-only — SANTA updates touch src/dst alone),
+    and (b) emit, for every seed, exactly the queries that seed's own
+    sequential scan would."""
+    n_nodes, e, cap, s_seeds = 40, 300, 8, 3
+    src, dst, _, ts, eidx = random_stream(e, n_nodes, seed=7)
+    rng = np.random.RandomState(11)
+    negs = rng.randint(1, n_nodes, (s_seeds, e)).astype(np.int32)
+    valid = np.ones(e, bool)
+    params = TpprParams.create((0.1, 0.2), (0.9, 0.5), 5)
+    m, k = 2, 5
+
+    flat, n_waves = wave_flat_index(src, dst, negs, n_nodes, cap=cap)
+    state_w, rows = wave_scan_chunk(
+        init_tppr_state(m, n_nodes, k), params,
+        jnp.asarray(src), jnp.asarray(dst),
+        jnp.asarray(negs.T),                      # device layout [E, S]
+        jnp.asarray(ts), jnp.asarray(eidx), jnp.asarray(valid),
+        jnp.asarray(flat), n_waves, cap,
+    )
+    assert rows.shape[1] == 2 + s_seeds
+
+    for s in range(s_seeds):
+        state_s, q_seq = streaming_scan(
+            init_tppr_state(m, n_nodes, k), params,
+            src, dst, negs[s], ts, eidx, valid,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(state_w.data), np.asarray(state_s.data),
+            err_msg=f"index state differs (seed {s})",
+        )
+        q_w = unpack_queries(rows[:, [0, 1, 2 + s]], jnp.asarray(ts), m, k)
+        for a, b in zip(q_w, q_seq):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f"seed {s}")

@@ -46,8 +46,10 @@ def wave_flat_index(
 ) -> Tuple[np.ndarray, int]:
     """Host scheduling: returns (flat slot per edge [E] i32, n_waves).
     ``n_waves`` rounds up to a multiple of ``wave_bucket`` so only a few
-    distinct shapes ever compile. ``n_shards > 1`` selects owner-aligned
-    lane blocks (see zebra_tpu.native.ingest.wave_schedule)."""
+    distinct shapes ever compile. ``neg`` is [E] or [S, E] (seed-parallel:
+    one shared schedule honoring every seed's extraction reads).
+    ``n_shards > 1`` selects owner-aligned lane blocks (see
+    zebra_tpu.native.ingest.wave_schedule)."""
     from zebra_tpu.native.ingest import wave_schedule
 
     wave, slot, n_waves = wave_schedule(src, dst, neg, n_nodes, cap, n_shards)
@@ -61,17 +63,25 @@ def _wave_step(state: TpprState, src, dst, neg, t, eidx, valid,
                use_pallas: bool = False,
                pallas_block: int = 0) -> Tuple[TpprState, jnp.ndarray]:
     """One wave: batched extraction + SANTA update for up to W disjoint
-    edges. Returns raw packed rows [W, 3, F] (pre-update, = extraction).
+    edges. Returns raw packed rows [W, 2+S, 3 for S=1] (pre-update,
+    = extraction); ``neg`` is [W] (one negative per edge) or [W, S]
+    (seed-parallel: S per-seed negatives, extraction-only — the SANTA update
+    touches src/dst alone, so the S extra blocks are pure row gathers).
 
     ``use_pallas`` swaps the merge math for the fused Pallas kernel
-    (zebra_tpu.index.pallas_merge); results agree to float rounding."""
+    (zebra_tpu.index.pallas_merge); results agree to float rounding. The
+    kernel reads only the src/dst blocks, so the extra neg blocks pass
+    through it untouched."""
     m, k = len(params.alpha), params.k
     w = src.shape[0]
     n = state.data.shape[0]
 
-    sdn = jnp.stack([src, dst, neg], axis=1)            # [W, 3]
-    rows = state.data[sdn]                              # [W, 3, F]
-    fields3, norm3 = _split_rows(rows, m, k)            # [W,3,M,4,k], [W,3,M]
+    negs = neg if neg.ndim == 2 else neg[:, None]       # [W, S]
+    sdn = jnp.concatenate(
+        [jnp.stack([src, dst], axis=1), negs], axis=1
+    )                                                   # [W, 2+S]
+    rows = state.data[sdn]                              # [W, 2+S, F]
+    fields3, norm3 = _split_rows(rows, m, k)            # [W,2+S,M,4,k], [W,2+S,M]
 
     if use_pallas:
         from zebra_tpu.index.pallas_merge import merge_both_pallas
@@ -122,8 +132,10 @@ def _wave_scan_chunk(
     """Scatter the chunk into wave layout, scan the waves, and gather the
     emitted extraction rows back to stream order. One XLA program.
 
-    Returns (state, packed query rows [E, 3, F]); rows of unscheduled
-    (invalid) edges are zero."""
+    Returns (state, packed query rows [E, 2+S, F] — 3 blocks for the plain
+    single-negative stream); rows of unscheduled (invalid) edges are zero.
+    ``neg`` is [E] or [E, S] (seed-parallel; the schedule must then have been
+    built from all S columns, wave_flat_index)."""
     total = n_waves * cap
 
     def to_waves(x, fill=0):
@@ -136,7 +148,10 @@ def _wave_scan_chunk(
 
     w_src = to_waves(src)
     w_dst = to_waves(dst)
-    w_neg = to_waves(neg)
+    w_neg = (
+        jnp.stack([to_waves(neg[:, s]) for s in range(neg.shape[1])], axis=-1)
+        if neg.ndim == 2 else to_waves(neg)
+    )
     w_t = to_waves(t)
     w_eidx = to_waves(eidx)
     w_valid = (

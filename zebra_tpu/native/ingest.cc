@@ -212,33 +212,81 @@ void zt_free(ZtEvents* h) {
 // advances to wave(i). The result is bit-exact with the sequential scan by
 // construction.
 
-extern "C" int64_t zt_wave_schedule(
-    const int32_t* src, const int32_t* dst, const int32_t* neg, int64_t n,
-    int64_t n_nodes, int32_t cap, int32_t* wave_out, int32_t* slot_out) {
+namespace {
+
+// Unified greedy scheduler. ``negs`` holds n_neg extraction-read columns,
+// laid out [n_neg, n] row-major — one column set per negative stream (the
+// seed-parallel trainer extracts a different negative per seed from ONE
+// shared scan, so every seed's read must be ordered against writes).
+// n_shards > 1 selects owner-aligned lane blocks; n_shards == 1 degenerates
+// to block = cap / owner = 0 and is bit-identical to the historical
+// unaligned scheduler.
+int64_t schedule_impl(const int32_t* src, const int32_t* dst,
+                      const int32_t* negs, int32_t n_neg, int64_t n,
+                      int64_t n_nodes, int32_t cap, int32_t n_shards,
+                      int32_t* wave_out, int32_t* slot_out) {
+  if (n_shards < 1) n_shards = 1;
+  if (cap % n_shards != 0) return -2;  // blocks must tile the lanes
+  const int32_t block = cap / n_shards;
+  const int64_t rows_per_shard = (n_nodes + n_shards - 1) / n_shards;
   std::vector<int32_t> last_write(static_cast<size_t>(n_nodes), -1);
   std::vector<int32_t> last_read(static_cast<size_t>(n_nodes), 0);
-  std::vector<int32_t> count;  // edges per wave
+  std::vector<int32_t> count;  // per (wave, shard) occupancy, stride n_shards
   count.reserve(1024);
   int32_t n_waves = 0;
   for (int64_t i = 0; i < n; ++i) {
-    if (src[i] < 0 || src[i] >= n_nodes || dst[i] < 0 || dst[i] >= n_nodes ||
-        neg[i] < 0 || neg[i] >= n_nodes) {
+    if (src[i] < 0 || src[i] >= n_nodes || dst[i] < 0 || dst[i] >= n_nodes) {
       return -1;  // id out of range: refuse rather than corrupt memory
     }
-    int32_t w = 1 + std::max(
-        {last_write[src[i]], last_write[dst[i]], last_write[neg[i]]});
+    int32_t w = std::max(last_write[src[i]], last_write[dst[i]]);
+    for (int32_t s = 0; s < n_neg; ++s) {
+      const int32_t v = negs[static_cast<int64_t>(s) * n + i];
+      if (v < 0 || v >= n_nodes) return -1;
+      w = std::max(w, last_write[v]);
+    }
+    w += 1;
     w = std::max({w, last_read[src[i]], last_read[dst[i]]});
-    while (w < static_cast<int32_t>(count.size()) && count[w] >= cap) w++;
-    if (w >= static_cast<int32_t>(count.size())) count.resize(w + 1, 0);
+    const int32_t owner =
+        n_shards > 1 ? static_cast<int32_t>(src[i] / rows_per_shard) : 0;
+    while (static_cast<size_t>(w) * n_shards < count.size() &&
+           count[static_cast<size_t>(w) * n_shards + owner] >= block)
+      w++;
+    if (static_cast<size_t>(w + 1) * n_shards > count.size())
+      count.resize(static_cast<size_t>(w + 1) * n_shards, 0);
     wave_out[i] = w;
-    slot_out[i] = count[w]++;
+    slot_out[i] =
+        owner * block + count[static_cast<size_t>(w) * n_shards + owner]++;
     last_write[src[i]] = w;
     last_write[dst[i]] = w;
-    for (int32_t v : {src[i], dst[i], neg[i]})
+    if (w > last_read[src[i]]) last_read[src[i]] = w;
+    if (w > last_read[dst[i]]) last_read[dst[i]] = w;
+    for (int32_t s = 0; s < n_neg; ++s) {
+      const int32_t v = negs[static_cast<int64_t>(s) * n + i];
       if (w > last_read[v]) last_read[v] = w;
+    }
     if (w + 1 > n_waves) n_waves = w + 1;
   }
   return n_waves;
+}
+
+}  // namespace
+
+extern "C" int64_t zt_wave_schedule(
+    const int32_t* src, const int32_t* dst, const int32_t* neg, int64_t n,
+    int64_t n_nodes, int32_t cap, int32_t* wave_out, int32_t* slot_out) {
+  return schedule_impl(src, dst, neg, 1, n, n_nodes, cap, 1, wave_out,
+                       slot_out);
+}
+
+// Multi-negative variant: negs is [n_neg, n] row-major (seed-parallel
+// training schedules ONE shared scan whose extraction reads cover every
+// seed's negative stream).
+extern "C" int64_t zt_wave_schedule_multi(
+    const int32_t* src, const int32_t* dst, const int32_t* negs,
+    int32_t n_neg, int64_t n, int64_t n_nodes, int32_t cap,
+    int32_t n_shards, int32_t* wave_out, int32_t* slot_out) {
+  return schedule_impl(src, dst, negs, n_neg, n, n_nodes, cap, n_shards,
+                       wave_out, slot_out);
 }
 
 // Owner-aligned variant for sharded meshes: the cap lanes partition into
@@ -255,39 +303,6 @@ extern "C" int64_t zt_wave_schedule_aligned(
     const int32_t* src, const int32_t* dst, const int32_t* neg, int64_t n,
     int64_t n_nodes, int32_t cap, int32_t n_shards, int32_t* wave_out,
     int32_t* slot_out) {
-  if (n_shards <= 1)
-    return zt_wave_schedule(src, dst, neg, n, n_nodes, cap, wave_out,
-                            slot_out);
-  if (cap % n_shards != 0) return -2;  // blocks must tile the lanes
-  const int32_t block = cap / n_shards;
-  const int64_t rows_per_shard = (n_nodes + n_shards - 1) / n_shards;
-  std::vector<int32_t> last_write(static_cast<size_t>(n_nodes), -1);
-  std::vector<int32_t> last_read(static_cast<size_t>(n_nodes), 0);
-  std::vector<int32_t> count;  // per (wave, shard) occupancy, stride n_shards
-  count.reserve(1024);
-  int32_t n_waves = 0;
-  for (int64_t i = 0; i < n; ++i) {
-    if (src[i] < 0 || src[i] >= n_nodes || dst[i] < 0 || dst[i] >= n_nodes ||
-        neg[i] < 0 || neg[i] >= n_nodes) {
-      return -1;
-    }
-    const int32_t owner = static_cast<int32_t>(src[i] / rows_per_shard);
-    int32_t w = 1 + std::max(
-        {last_write[src[i]], last_write[dst[i]], last_write[neg[i]]});
-    w = std::max({w, last_read[src[i]], last_read[dst[i]]});
-    while (static_cast<size_t>(w) * n_shards < count.size() &&
-           count[static_cast<size_t>(w) * n_shards + owner] >= block)
-      w++;
-    if (static_cast<size_t>(w + 1) * n_shards > count.size())
-      count.resize(static_cast<size_t>(w + 1) * n_shards, 0);
-    wave_out[i] = w;
-    slot_out[i] =
-        owner * block + count[static_cast<size_t>(w) * n_shards + owner]++;
-    last_write[src[i]] = w;
-    last_write[dst[i]] = w;
-    for (int32_t v : {src[i], dst[i], neg[i]})
-      if (w > last_read[v]) last_read[v] = w;
-    if (w + 1 > n_waves) n_waves = w + 1;
-  }
-  return n_waves;
+  return schedule_impl(src, dst, neg, 1, n, n_nodes, cap, n_shards, wave_out,
+                       slot_out);
 }

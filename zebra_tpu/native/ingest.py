@@ -151,15 +151,23 @@ def wave_schedule(src, dst, neg, n_nodes: int, cap: int, n_shards: int = 1):
     node-disjoint and every cross-wave data dependency is respected, so the
     wave-parallel scan is bit-exact with the sequential one.
 
+    ``neg`` is [E] (one negative stream) or [S, E] (S streams — the
+    seed-parallel trainer runs ONE shared scan whose extraction serves every
+    seed's negatives, so all S reads constrain the schedule). [1, E] produces
+    the identical schedule to [E].
+
     ``n_shards > 1`` selects the owner-aligned scheduler (ingest.cc
-    zt_wave_schedule_aligned): lanes partition into n_shards blocks and every
+    schedule_impl): lanes partition into n_shards blocks and every
     edge lands in the block of its src row's owner shard (contiguous row
     sharding), so per-shard wave executors read their block's src rows
     locally. Requires cap % n_shards == 0."""
     src = np.ascontiguousarray(src, np.int32)
     dst = np.ascontiguousarray(dst, np.int32)
-    neg = np.ascontiguousarray(neg, np.int32)
+    negs = np.ascontiguousarray(np.atleast_2d(np.asarray(neg, np.int32)))
+    n_neg = negs.shape[0]
     n = len(src)
+    if negs.shape[1] != n:
+        raise ValueError(f"neg shape {negs.shape} does not match {n} edges")
     wave = np.empty(n, np.int32)
     slot = np.empty(n, np.int32)
     if n_shards > 1 and cap % n_shards != 0:
@@ -169,28 +177,17 @@ def wave_schedule(src, dst, neg, n_nodes: int, cap: int, n_shards: int = 1):
     if lib is not None:
         if not hasattr(lib, "_wave_ready"):
             i32p = ctypes.POINTER(ctypes.c_int32)
-            lib.zt_wave_schedule.restype = ctypes.c_int64
-            lib.zt_wave_schedule.argtypes = [
-                i32p, i32p, i32p, ctypes.c_int64, ctypes.c_int64,
-                ctypes.c_int32, i32p, i32p,
-            ]
-            lib.zt_wave_schedule_aligned.restype = ctypes.c_int64
-            lib.zt_wave_schedule_aligned.argtypes = [
-                i32p, i32p, i32p, ctypes.c_int64, ctypes.c_int64,
-                ctypes.c_int32, ctypes.c_int32, i32p, i32p,
+            lib.zt_wave_schedule_multi.restype = ctypes.c_int64
+            lib.zt_wave_schedule_multi.argtypes = [
+                i32p, i32p, i32p, ctypes.c_int32, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, i32p, i32p,
             ]
             lib._wave_ready = True
         ptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
-        if n_shards > 1:
-            n_waves = lib.zt_wave_schedule_aligned(
-                ptr(src), ptr(dst), ptr(neg), n, n_nodes, cap, n_shards,
-                ptr(wave), ptr(slot),
-            )
-        else:
-            n_waves = lib.zt_wave_schedule(
-                ptr(src), ptr(dst), ptr(neg), n, n_nodes, cap,
-                ptr(wave), ptr(slot),
-            )
+        n_waves = lib.zt_wave_schedule_multi(
+            ptr(src), ptr(dst), ptr(negs), n_neg, n, n_nodes, cap,
+            max(1, n_shards), ptr(wave), ptr(slot),
+        )
         if n_waves < 0:
             raise ValueError(
                 f"wave_schedule: node id out of range [0, {n_nodes})"
@@ -206,7 +203,8 @@ def wave_schedule(src, dst, neg, n_nodes: int, cap: int, n_shards: int = 1):
     n_waves = 0
     for i in range(n):
         owner = int(src[i]) // rows_per_shard if n_shards > 1 else 0
-        w = int(max(last_write[src[i]], last_write[dst[i]], last_write[neg[i]])) + 1
+        w = int(max(last_write[src[i]], last_write[dst[i]],
+                    max(last_write[negs[:, i]]))) + 1
         w = max(w, int(last_read[src[i]]), int(last_read[dst[i]]))
         while w < len(counts) and counts[w][owner] >= block:
             w += 1
@@ -217,7 +215,7 @@ def wave_schedule(src, dst, neg, n_nodes: int, cap: int, n_shards: int = 1):
         counts[w][owner] += 1
         last_write[src[i]] = w
         last_write[dst[i]] = w
-        for v in (src[i], dst[i], neg[i]):
+        for v in (src[i], dst[i], *negs[:, i]):
             if w > last_read[v]:
                 last_read[v] = w
         n_waves = max(n_waves, w + 1)
