@@ -287,8 +287,213 @@ def _run_phase_fused(
     return params, opt_state, mem, index_state, metrics
 
 
+def _run_phase_seeds(
+    cfg: Config,
+    train: bool,
+    n_batches: int,
+    params,                  # stacked [S, ...] per-seed trees
+    opt_state,
+    mem: MemoryState,
+    rng: jnp.ndarray,        # [S] per-seed keys
+    edge_feats: jnp.ndarray,
+    nbr_index,               # shared NeighborIndex (pruning/recursive) or ()
+    stream: Stream,          # neg is [E, S] (train) or [E] (eval: the seeded
+                             # samplers draw the SAME negatives every run,
+                             # reference train.py:141-144, evaluation.py:9-10)
+    queries=None,            # packed rows [E, 2+S, F] from the multi-neg wave
+                             # scan ([E, 3, F] for eval), or None for the
+                             # strategies that query per seed (pruning BFS /
+                             # recursive towers)
+):
+    """Seed-parallel variant of :func:`_run_phase`: S independent runs
+    (per-seed params, optimizer, memory, dropout streams, train negatives)
+    advance together, vmapped over the seed axis, sharing the event stream,
+    the T-PPR index scan (negatives are extraction-only — the wave scan
+    extracts every seed's negative rows in one pass), and all host↔device
+    traffic. The per-seed math is exactly :func:`_run_phase`'s, so each lane
+    reproduces the run `Trainer(cfg.replace(seed=seed_s))` would produce.
+
+    Bit-exactness caveat: under ``--prng_impl threefry2x32`` the per-seed
+    dropout bits are identical to the sequential runs' (threefry bit
+    generation is vmap-invariant — tested); the default ``rbg`` impl
+    generates DIFFERENT (equally valid, per-seed independent) dropout masks
+    under vmap, so rbg results match sequential runs in distribution, not
+    bit-for-bit — the same class of difference as the reference's own
+    run-to-run dropout variance. Everything deterministic (index queries,
+    negatives, eval phases, init) is exact under either impl.
+
+    The reference reaches multi-run statistics by looping runs sequentially
+    (reference train.py:149); there is no single-GPU analogue of this.
+
+    The streaming index is NOT carried here: seed-parallel streaming requires
+    the wave pipeline (queries precomputed), which is the production path.
+    Returns (params, opt_state, mem, metrics) with metrics [n_batches, S]."""
+    b = stream.src.shape[0] // n_batches
+    multi_neg = stream.neg.ndim == 2
+    n_seeds = jax.tree.leaves(params)[0].shape[0]
+    opt = make_optimizer(cfg)
+
+    if cfg.embedding_module == "diffusion" and cfg.tppr_strategy == "streaming":
+        if queries is None:
+            raise ValueError(
+                "seed-parallel streaming needs wave-scan queries (the "
+                "in-program sequential index scan is not supported here)"
+            )
+
+    shared = Stream(
+        src=stream.src.reshape(n_batches, b),
+        dst=stream.dst.reshape(n_batches, b),
+        neg=(stream.neg.reshape(n_batches, b, n_seeds) if multi_neg
+             else stream.neg.reshape(n_batches, b)),
+        t=stream.t.reshape(n_batches, b),
+        eidx=stream.eidx.reshape(n_batches, b),
+        valid=stream.valid.reshape(n_batches, b),
+    )
+    xs = (shared,
+          queries.reshape((n_batches, b) + queries.shape[1:])
+          if queries is not None else None)
+
+    need_emb = (
+        cfg.use_source_embedding_in_message
+        or cfg.use_destination_embedding_in_message
+    )
+    # per-seed block picker: seed s reads query blocks [src, dst, neg_s]
+    block_of_seed = jnp.asarray(
+        [[0, 1, 2 + s] for s in range(n_seeds)], jnp.int32
+    )
+
+    def batch_body(carry, xs_item):
+        s, q_rows = xs_item
+        params, opt_state, mem, rng = carry
+
+        def seed_fn(p, o, m_, r, neg, rows3):
+            r, k_drop = jax.random.split(r)
+            if cfg.embedding_module != "diffusion":
+                q = None
+            elif rows3 is not None:
+                q = unpack_queries(rows3, s.t, cfg.n_tppr, cfg.topk)
+                q = TpprQueries(*(
+                    x.transpose(1, 2, 0, 3).reshape(
+                        x.shape[1], 3 * b, x.shape[3]
+                    )
+                    for x in q
+                ))
+            else:
+                q = pruned_topk_impl(
+                    nbr_index,
+                    jnp.asarray(cfg.alpha_list, jnp.float32),
+                    jnp.asarray(cfg.beta_list, jnp.float32),
+                    jnp.concatenate([s.src, s.dst, neg]),
+                    jnp.concatenate([s.t, s.t, s.t]),
+                    cfg.n_degree, cfg.n_layer, cfg.topk,
+                )
+            nodes3 = jnp.concatenate([s.src, s.dst, neg])
+            times3 = jnp.concatenate([s.t, s.t, s.t])
+            positives = jnp.concatenate([s.src, s.dst])
+            valid2 = jnp.concatenate([s.valid, s.valid])
+
+            overflow = jnp.zeros(())
+            if train:
+                plan = (
+                    make_lazy_plan(cfg, q, nodes3)
+                    if cfg.embedding_module == "diffusion" else None
+                )
+                if plan is not None:
+                    overflow = plan.overflow
+
+                def loss_fn(p_, m__):
+                    emb = _forward(cfg, p_, m__, edge_feats, nodes3, times3,
+                                   q, nbr_index, k_drop, train=True, plan=plan)
+                    pos_logit, neg_logit = _scores(cfg, p_, emb, b)
+                    bce_pos = optax.sigmoid_binary_cross_entropy(
+                        pos_logit, jnp.ones_like(pos_logit)
+                    )
+                    bce_neg = optax.sigmoid_binary_cross_entropy(
+                        neg_logit, jnp.zeros_like(neg_logit)
+                    )
+                    loss = (_masked_mean(bce_pos, s.valid)
+                            + _masked_mean(bce_neg, s.valid))
+                    aux = (jax.nn.sigmoid(pos_logit),
+                           jax.nn.sigmoid(neg_logit),
+                           emb[: 2 * b] if need_emb else None)
+                    return loss, aux
+
+                (loss, (pos_p, neg_p, emb2b)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(p, m_)
+                updates, o = opt.update(grads, o, p)
+                p = optax.apply_updates(p, updates)
+                src_emb = dst_emb = None
+                if need_emb:
+                    emb2b = jax.lax.stop_gradient(emb2b)
+                    src_emb, dst_emb = emb2b[:b], emb2b[b:]
+                m_ = _commit_pending(cfg, p, m_, positives, valid2)
+                m_ = _store_messages(
+                    cfg, p, m_, edge_feats, s.src, s.dst, s.t, s.eidx,
+                    s.valid, src_emb, dst_emb,
+                )
+            else:
+                loss = jnp.zeros(())
+                emb = _forward(cfg, p, m_, edge_feats, nodes3, times3, q,
+                               nbr_index, None, train=False)
+                pos_logit, neg_logit = _scores(cfg, p, emb, b)
+                pos_p = jax.nn.sigmoid(pos_logit)
+                neg_p = jax.nn.sigmoid(neg_logit)
+                src_emb, dst_emb = (
+                    (emb[:b], emb[b : 2 * b]) if need_emb else (None, None)
+                )
+                if cfg.aggregator == "last":
+                    m_ = eval_store_commit(
+                        cfg, p, m_, edge_feats, s.src, s.dst, s.t,
+                        s.eidx, s.valid, src_emb, dst_emb,
+                    )
+                else:
+                    m_ = _store_messages(
+                        cfg, p, m_, edge_feats, s.src, s.dst, s.t, s.eidx,
+                        s.valid, src_emb, dst_emb,
+                    )
+                    m_ = _commit_pending(cfg, p, m_, positives, valid2)
+
+            from zebra_tpu.ops.metrics import (
+                masked_ap,
+                masked_auc,
+                masked_rank_acc,
+            )
+
+            metrics = StepMetrics(
+                loss=loss,
+                ap=masked_ap(pos_p, neg_p, s.valid),
+                auc=masked_auc(pos_p, neg_p, s.valid),
+                acc=masked_rank_acc(pos_p, neg_p, s.valid),
+                overflow=overflow,
+            )
+            return (p, o, m_, r), metrics
+
+        if multi_neg:
+            negs_in, neg_ax = s.neg.T, 0                # [S, b]
+        else:
+            negs_in, neg_ax = s.neg, None               # shared eval draw
+        if q_rows is None:
+            q_in, q_ax = None, None
+        elif q_rows.shape[1] == 3 and not multi_neg:
+            q_in, q_ax = q_rows, None                   # shared eval rows
+        else:
+            q_in, q_ax = q_rows[:, block_of_seed].transpose(1, 0, 2, 3), 0
+
+        (params, opt_state, mem, rng), metrics = jax.vmap(
+            seed_fn, in_axes=(0, 0, 0, 0, neg_ax, q_ax)
+        )(params, opt_state, mem, rng, negs_in, q_in)
+        return (params, opt_state, mem, rng), metrics
+
+    (params, opt_state, mem, _), metrics = jax.lax.scan(
+        batch_body, (params, opt_state, mem, rng), xs, unroll=2
+    )
+    return params, opt_state, mem, metrics
+
+
 _run_phase_jit = None
 _run_phase_fused_jit = None
+_run_phase_seeds_jit = None
 
 
 def run_phase(*args, **kwargs):
@@ -317,3 +522,16 @@ def run_phase_fused(*args, **kwargs):
             compiler_options=resolve_compiler_options(),
         )(_run_phase_fused)
     return _run_phase_fused_jit(*args, **kwargs)
+
+
+def run_phase_seeds(*args, **kwargs):
+    """Jitted :func:`_run_phase_seeds` (seed-parallel phase)."""
+    global _run_phase_seeds_jit
+    if _run_phase_seeds_jit is None:
+        _run_phase_seeds_jit = functools.partial(
+            jax.jit,
+            static_argnames=("cfg", "train", "n_batches"),
+            donate_argnames=("params", "opt_state", "mem"),
+            compiler_options=resolve_compiler_options(),
+        )(_run_phase_seeds)
+    return _run_phase_seeds_jit(*args, **kwargs)
