@@ -16,11 +16,12 @@ import time
 sys.path.insert(0, ".")
 
 
-def capture(logdir):
+def capture(logdir, overrides=None):
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from zebra_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+    _enable_compile_cache(jax)
 
     from zebra_tpu.config import Config
     from zebra_tpu.data.dataset import split_data
@@ -35,11 +36,13 @@ def capture(logdir):
         data.sources, data.destinations, data.timestamps, data.edge_idxs,
         data.labels,
     )
-    cfg = Config(
+    base = dict(
         data="bench", bs=200, node_dim=100, time_dim=100, memory_dim=100,
         topk=20, alpha_list=(0.1, 0.1), beta_list=(0.05, 0.95),
         tppr_strategy="streaming", checkpoint_dir="/tmp/zebra_bench_ckpt",
     )
+    base.update(overrides or {})
+    cfg = Config(**base)
     trainer = Trainer(cfg, splits, edge_feats)
     trainer.train_epoch()  # warm
     t0 = time.time()
@@ -91,14 +94,24 @@ def report(logdir, top):
 
 
 def main():
-    logdir, top = "/tmp/zebra_prof", 30
+    logdir, top, overrides = "/tmp/zebra_prof", 30, {}
     for arg in sys.argv[1:]:
         k, v = arg.split("=", 1)
         if k == "logdir":
             logdir = v
         elif k == "top":
             top = int(v)
-    capture(logdir)
+        else:
+            # config override parsed against the dataclass default (ints/
+            # floats/strings; enough for profiling variants)
+            from zebra_tpu.config import Config
+
+            default = Config.__dataclass_fields__[k].default
+            overrides[k] = (
+                v if default is None or isinstance(default, str)
+                else type(default)(v)
+            )
+    capture(logdir, overrides)
     report(logdir, top)
 
 

@@ -15,8 +15,9 @@ sys.path.insert(0, ".")
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from zebra_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+    _enable_compile_cache(jax)
 
     from zebra_tpu.config import Config
     from zebra_tpu.data.dataset import split_data

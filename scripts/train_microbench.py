@@ -19,8 +19,9 @@ sys.path.insert(0, ".")
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from zebra_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+    _enable_compile_cache(jax)
 
     from zebra_tpu.config import Config
     from zebra_tpu.data.dataset import split_data
@@ -73,13 +74,18 @@ def main():
     trainer = Trainer(cfg, splits, edge_feats)
     trainer.train_epoch()  # compile
     n = splits.train.n_interactions
+    n_seeds = max(1, cfg.parallel_runs)
     for _ in range(n_epochs):
         t0 = time.time()
         r = trainer.train_epoch()
         jax.block_until_ready(trainer.params)
         dt = time.time() - t0
-        print(f"epoch {dt:.3f}s  {n/dt:.0f} ev/s  ap={r.ap:.4f}  "
-              f"(index_s {r.index_seconds:.3f})", flush=True)
+        import numpy as np
+
+        ap = float(np.asarray(r.ap).mean())
+        agg = f"  aggregate {n_seeds * n / dt:.0f} ev/s" if n_seeds > 1 else ""
+        print(f"epoch {dt:.3f}s  {n/dt:.0f} ev/s  ap={ap:.4f}  "
+              f"(index_s {r.index_seconds:.3f}){agg}", flush=True)
 
 
 if __name__ == "__main__":

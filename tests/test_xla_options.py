@@ -54,3 +54,19 @@ def test_tpu_defaults_and_rank_vmem_rider(monkeypatch):
     assert opts["xla_tpu_scoped_vmem_limit_kib"] == "65536"
     for k, v in xla_options.TPU_DEFAULT_OPTIONS.items():
         assert opts[k] == v
+
+
+def test_compile_cache_dir_is_host_keyed(monkeypatch):
+    """The persistent compile cache must never be shared across machines:
+    XLA:CPU AOT entries embed build-host CPU features and loading a foreign
+    entry can segfault (observed when a container moved hosts)."""
+    from zebra_tpu.utils import compile_cache
+
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+    d1 = compile_cache.cache_dir()
+    assert d1 != "/tmp/jax_cache"          # bare shared dir is forbidden
+    assert d1 == compile_cache.cache_dir()  # stable on one host
+    assert compile_cache.host_fingerprint() in d1
+
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/tmp/explicit")
+    assert compile_cache.cache_dir() == "/tmp/explicit"
