@@ -37,3 +37,39 @@ def test_cli_end_to_end(tmp_path, monkeypatch):
     # log file written with the derived run name
     logs = list((tmp_path / "log" / "toy").iterdir())
     assert logs, "no log file produced"
+
+
+def test_cli_parallel_runs(tmp_path, monkeypatch):
+    """--parallel_runs 2 trains both seeds in one pass and logs the
+    per-seed mean ± σ summary."""
+    rng = np.random.RandomState(1)
+    n = 400
+    d = tmp_path / "toy2"
+    d.mkdir()
+    with open(d / "toy2.csv", "w") as f:
+        f.write("u,i,ts,label,f0\n")
+        for i in range(n):
+            u = rng.randint(0, 30)
+            v = rng.randint(0, 30)
+            f.write(f"{u},{v},{float(i)},0,{rng.rand():.4f}\n")
+
+    from zebra_tpu.data import preprocess
+
+    preprocess.run("toy2", str(tmp_path), bipartite=True, fmt="jodie")
+
+    monkeypatch.chdir(tmp_path)
+    import train as train_cli
+
+    train_cli.main([
+        "-d", "toy2", "--data_dir", str(tmp_path),
+        "--n_epoch", "1", "--bs", "32", "--patience", "1",
+        "--node_dim", "16", "--time_dim", "16", "--memory_dim", "16",
+        "--topk", "4", "--alpha_list", "0.1", "--beta_list", "0.9",
+        "--tppr_strategy", "streaming", "--lr", "0.001",
+        "--parallel_runs", "2",
+    ])
+    logs = list((tmp_path / "log" / "toy2").iterdir())
+    assert logs, "no log file produced"
+    text = logs[0].read_text()
+    assert "parallel runs finished" in text
+    assert "2 seeds" in text

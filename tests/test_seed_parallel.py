@@ -2,6 +2,8 @@
 index scan must reproduce, per seed, exactly what S separate single-seed
 phase programs produce."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -248,3 +250,107 @@ def test_run_phase_seeds_eval_shared_negatives():
                 np.asarray(la[s], np.float32), np.asarray(lb, np.float32),
                 rtol=2e-5, atol=1e-5,
             )
+
+
+def _seed_trainer(tmpdir, **kw):
+    from tests.test_train_loop import _make_trainer
+
+    return _make_trainer(
+        "streaming", n_events=600, checkpoint_dir=str(tmpdir), **kw
+    )
+
+
+def test_trainer_seed_parallel_fit_matches_sequential(tmp_path):
+    """Trainer(parallel_runs=S).fit() reproduces, per seed, what S sequential
+    single-seed Trainers (cfg.seed = seed + s — the CLI's --n_runs schedule,
+    train.py:88-93) produce: same negative draws, same early-stop decisions,
+    per-seed test metrics within vmap reduction-order noise (threefry dropout
+    bits are vmap-invariant; f32 memory avoids bf16 quantization of the
+    noise)."""
+    kw = dict(
+        n_epoch=2, patience=5, prng_impl="threefry2x32",
+        memory_dtype="float32",
+    )
+    par = _seed_trainer(tmp_path / "par", parallel_runs=2, **kw)
+    out = par.fit()
+
+    seq = []
+    for s in range(2):
+        tr = _seed_trainer(tmp_path / f"seq{s}", seed=par.cfg.seed + s, **kw)
+        seq.append(tr.fit())
+
+    for s in range(2):
+        for key in ("test_ap", "test_auc", "nn_test_ap", "nn_test_auc"):
+            np.testing.assert_allclose(
+                out["per_seed"][key][s], seq[s][key], rtol=0, atol=5e-3,
+                err_msg=f"{key} seed {s}",
+            )
+        assert out["per_seed"]["stop_epoch"][s] == seq[s]["stop_epoch"]
+    assert out["test_ap"] == pytest.approx(
+        np.mean([r["test_ap"] for r in seq]), abs=5e-3
+    )
+    assert out["test_ap_std"] >= 0.0
+
+
+def test_trainer_seed_parallel_resume_is_exact(tmp_path):
+    """A seed-parallel fit interrupted at an epoch-boundary state checkpoint
+    and resumed in a fresh Trainer finishes with bit-identical per-seed test
+    metrics (same programs, same restored RNG/optimizer/stopper state)."""
+    kw = dict(n_epoch=3, patience=5, state_every=2)
+
+    full = _seed_trainer(tmp_path / "a", parallel_runs=2, **kw)
+    ref = full.fit()
+
+    # same config/dir: run once to produce the epoch-2 state file, then
+    # resume it in a brand-new Trainer and run the remaining epoch
+    half = _seed_trainer(tmp_path / "b", parallel_runs=2, **kw)
+    half.fit(n_epoch=2)  # writes <run_name>.state.ckpt at epoch 2
+    state_path = os.path.join(
+        half.cfg.checkpoint_dir, half.cfg.run_name() + ".state.ckpt"
+    )
+    assert os.path.exists(state_path)
+
+    resumed = _seed_trainer(tmp_path / "b", parallel_runs=2, **kw)
+    out = resumed.fit(resume_from=state_path)
+
+    for key in ("test_ap", "test_auc", "nn_test_ap", "nn_test_auc"):
+        np.testing.assert_allclose(
+            out["per_seed"][key], ref["per_seed"][key], rtol=0, atol=1e-6,
+            err_msg=key,
+        )
+
+
+def test_trainer_parallel_lr_sweep_matches_sequential(tmp_path):
+    """--parallel_lr turns the seed axis into a one-pass lr sweep: lane s
+    must reproduce a single-seed Trainer running cfg.seed + s at lr_s
+    (inject_hyperparams adam is numerically identical to optax.adam at a
+    fixed lr; threefry dropout bits are vmap-invariant)."""
+    lrs = (3e-3, 8e-4)
+    kw = dict(
+        n_epoch=2, patience=5, prng_impl="threefry2x32",
+        memory_dtype="float32",
+    )
+    par = _seed_trainer(
+        tmp_path / "par", parallel_runs=2, parallel_lr=lrs, **kw
+    )
+    out = par.fit()
+    assert out["per_seed"]["lr"] == [pytest.approx(v) for v in lrs]
+
+    for s, lr in enumerate(lrs):
+        tr = _seed_trainer(
+            tmp_path / f"seq{s}", seed=par.cfg.seed + s, lr=lr, **kw
+        )
+        ref = tr.fit()
+        for key in ("test_ap", "test_auc", "nn_test_ap"):
+            np.testing.assert_allclose(
+                out["per_seed"][key][s], ref[key], rtol=0, atol=5e-3,
+                err_msg=f"{key} lr {lr}",
+            )
+
+
+def test_parallel_lr_validation():
+    with pytest.raises(ValueError, match="parallel_lr"):
+        _seed_trainer("/tmp/zebra_plr_bad", parallel_runs=2,
+                      parallel_lr=(1e-3,))
+    with pytest.raises(ValueError, match="parallel_lr"):
+        _seed_trainer("/tmp/zebra_plr_bad", parallel_lr=(1e-3,))

@@ -21,15 +21,9 @@ if os.environ.get("JAX_PLATFORMS"):
 
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
-# persistent compile cache: on tunneled TPU deployments a cold compile of the
-# fused phase programs dominates short runs (tens of seconds to minutes each)
 import jax  # noqa: E402
 
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from zebra_tpu.utils.compile_cache import enable as _enable_compile_cache
 
 from zebra_tpu.config import Config
 from zebra_tpu.data.dataset import get_data, load_feat
@@ -59,6 +53,12 @@ def main(argv=None):
     initialize_distributed(
         cfg.dist_coordinator, cfg.dist_num_processes, cfg.dist_process_id
     )
+    # persistent compile cache (accelerator backends only — XLA:CPU's AOT
+    # cache roundtrip segfaults on some programs, utils/compile_cache.py):
+    # on tunneled TPU deployments a cold compile of the fused phase programs
+    # dominates short runs. After initialize_distributed — this touches the
+    # backend.
+    _enable_compile_cache(jax)
     logger = setup_logging(cfg)
     logger.info(cfg)
 
@@ -66,6 +66,24 @@ def main(argv=None):
     node_feats, edge_feats = load_feat(cfg.data, cfg.data_dir)
     if cfg.ignore_node_feats:
         node_feats = None
+
+    if cfg.parallel_runs > 1:
+        # all seeds advance concurrently in ONE Trainer (vmapped seed axis,
+        # shared index scan) — the TPU-native form of the sequential
+        # --n_runs loop; reports per-seed results and mean ± σ
+        if cfg.n_runs > 1:
+            logger.warning(
+                "--parallel_runs %d supersedes --n_runs %d: all seeds run "
+                "in one pass", cfg.parallel_runs, cfg.n_runs,
+            )
+        t0 = time.time()
+        trainer = Trainer(cfg, splits, edge_feats, node_feats)
+        results = trainer.fit(resume_from=cfg.resume_state)
+        logger.info(
+            "%d parallel runs finished in %.1fs: %s",
+            cfg.parallel_runs, time.time() - t0, results,
+        )
+        return
 
     for run in range(cfg.n_runs):
         t0 = time.time()

@@ -11,7 +11,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 from dataclasses import dataclass, field
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 
 @dataclass(frozen=True)
@@ -57,6 +57,27 @@ class Config:
     patience: int = 5                # early-stop patience on val AP
     drop_out: float = 0.3            # reference --drop_out (vestigial for diffusion)
     n_runs: int = 1
+    parallel_runs: int = 1           # train this many independent seeds
+                                     # (cfg.seed + s) CONCURRENTLY in one
+                                     # Trainer: per-seed params/optimizer/
+                                     # memory/negatives vmapped over a seed
+                                     # axis, sharing the event stream and ONE
+                                     # T-PPR index scan (negatives are
+                                     # extraction-only). The TPU-native
+                                     # replacement for looping --n_runs
+                                     # sequentially (reference train.py:149);
+                                     # produces the paper-style multi-run
+                                     # mean ± σ in a single pass. See
+                                     # train/phase.py:run_phase_seeds for the
+                                     # rbg-dropout bit-exactness caveat
+    parallel_lr: Optional[Tuple[float, ...]] = None
+                                     # per-seed learning rates for
+                                     # --parallel_runs (len == parallel_runs):
+                                     # turns the seed axis into a one-pass lr
+                                     # sweep — each vmapped lane reads its own
+                                     # lr from the optimizer state
+                                     # (optax.inject_hyperparams). None: every
+                                     # seed uses --lr
 
     # ---- determinism ----
     enable_random: bool = False      # if False: seed 0 everywhere (reference train.py:86-88)
@@ -298,6 +319,8 @@ class Config:
         p.add_argument("--lr", type=float, default=1e-4)
         p.add_argument("--patience", type=int, default=5)
         p.add_argument("--n_runs", type=int, default=1)
+        p.add_argument("--parallel_runs", type=int, default=1)
+        p.add_argument("--parallel_lr", type=float, nargs="+", default=None)
         p.add_argument("--drop_out", type=float, default=0.3)
         p.add_argument("--memory_updater", type=str, default="gru", choices=["gru", "rnn"])
         p.add_argument("--embedding_module", type=str, default="diffusion")
@@ -357,4 +380,6 @@ class Config:
         kw["beta_list"] = tuple(kw["beta_list"])
         if len(kw["alpha_list"]) != len(kw["beta_list"]):
             raise ValueError("alpha_list and beta_list must have equal length")
+        if kw.get("parallel_lr") is not None:
+            kw["parallel_lr"] = tuple(kw["parallel_lr"])
         return cls(**kw)

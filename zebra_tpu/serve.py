@@ -110,13 +110,17 @@ class LinkPredictor:
     def from_checkpoint(cls, path: str, cfg: Optional[Config] = None,
                         edge_feats=None,
                         events: Optional[Tuple[np.ndarray, ...]] = None,
-                        rebuild_every: int = 1) -> "LinkPredictor":
+                        rebuild_every: int = 1,
+                        run_index: int = 0) -> "LinkPredictor":
         """Build a predictor from a ``Trainer.save_state`` checkpoint file —
         no live Trainer needed (the deployment path). ``cfg`` defaults to the
         one stored in the checkpoint; ``edge_feats`` to zeros (matching
         ``--ignore_edge_feats`` / SNAP-style training); ``events`` (the
         training stream columns) is required only by strategies that query
-        an adjacency index (pruning / recursive towers)."""
+        an adjacency index (pruning / recursive towers). ``run_index``
+        selects which seed to serve from a seed-parallel checkpoint
+        (``--parallel_runs``: params/memory carry a leading seed axis; the
+        index state is shared)."""
         from zebra_tpu.train.checkpoint import load_checkpoint
 
         ckpt = load_checkpoint(path)
@@ -128,6 +132,15 @@ class LinkPredictor:
         as_dev = lambda t: jax.tree.map(jnp.asarray, t)
         params = as_dev(ckpt["params"])
         mem = as_dev(ckpt["mem"])
+        if cfg.parallel_runs > 1:
+            if not 0 <= run_index < cfg.parallel_runs:
+                raise ValueError(
+                    f"run_index {run_index} out of range for a "
+                    f"{cfg.parallel_runs}-seed checkpoint"
+                )
+            pick = lambda t: jax.tree.map(lambda x: x[run_index], t)
+            params, mem = pick(params), pick(mem)
+            cfg = cfg.replace(parallel_runs=1, parallel_lr=None)
         index_state = (
             as_dev(ckpt["index_state"]) if ckpt["index_state"] != () else ()
         )

@@ -55,7 +55,12 @@ from zebra_tpu.train.early_stopping import EarlyStopMonitor
 from zebra_tpu.data.sampler import RandEdgeSampler
 from zebra_tpu.index.streaming import TpprParams
 from zebra_tpu.index.waves import wave_flat_index, wave_scan_chunk
-from zebra_tpu.train.phase import Stream, run_phase, run_phase_fused
+from zebra_tpu.train.phase import (
+    Stream,
+    run_phase,
+    run_phase_fused,
+    run_phase_seeds,
+)
 from zebra_tpu.train.step import flush_pending_messages, make_optimizer
 from zebra_tpu.utils.profiling import PhaseTimers, trace_context
 
@@ -161,6 +166,35 @@ class Trainer:
             self._mesh is not None
             and len(set(d.process_index for d in self._mesh.devices.flat)) > 1
         )
+
+        # seed-parallel training: S independent runs (cfg.seed + s) advance
+        # together, vmapped over a leading seed axis (run_phase_seeds); ONE
+        # index scan serves all seeds (negatives are extraction-only)
+        self._n_seeds = max(1, int(cfg.parallel_runs))
+        if self._n_seeds > 1:
+            if self._mesh is not None:
+                raise ValueError(
+                    "parallel_runs > 1 with a device mesh is not supported: "
+                    "the node tables would need a (seed, row) sharding — "
+                    "run seed-parallel single-device or shard single-seed"
+                )
+            if cfg.fused_dispatch:
+                raise ValueError(
+                    "parallel_runs > 1 does not support --fused_dispatch "
+                    "(the split two-dispatch pipeline is the production "
+                    "path; the fused program has no seed-parallel variant)"
+                )
+        if cfg.parallel_lr is not None:
+            if self._n_seeds == 1:
+                raise ValueError(
+                    "--parallel_lr requires --parallel_runs > 1 (use --lr "
+                    "for a single run)"
+                )
+            if len(cfg.parallel_lr) != self._n_seeds:
+                raise ValueError(
+                    f"--parallel_lr needs one value per parallel run: got "
+                    f"{len(cfg.parallel_lr)} for {self._n_seeds} runs"
+                )
 
         self.edge_feats = self._to_dev(np.asarray(edge_feats, np.float32))
 
@@ -281,12 +315,36 @@ class Trainer:
         if not cfg.enable_random:
             np.random.seed(cfg.seed)
 
-        self.rng, init_rng = jax.random.split(self.rng)
-        self.params = init_tgn_params(init_rng, cfg)
-        self.opt_state = make_optimizer(cfg).init(self.params)
-        self.mem = init_memory(cfg.n_nodes, cfg.memory_dim, cfg.msg_table_dim,
-                               jnp.dtype(cfg.message_dtype),
-                               jnp.dtype(cfg.memory_dtype))
+        if self._n_seeds == 1:
+            self.rng, init_rng = jax.random.split(self.rng)
+            self.params = init_tgn_params(init_rng, cfg)
+            self.opt_state = make_optimizer(cfg).init(self.params)
+        else:
+            # per-seed inits exactly as S separate Trainers with
+            # cfg.seed = seed + s would build them (the CLI's sequential
+            # --n_runs loop uses the same seed schedule, train.py:73)
+            opt = make_optimizer(cfg)
+            rngs, plist, olist = [], [], []
+            for s in range(self._n_seeds):
+                r, init_r = jax.random.split(jax.random.PRNGKey(cfg.seed + s))
+                p = init_tgn_params(init_r, cfg)
+                rngs.append(r)
+                plist.append(p)
+                o = opt.init(p)
+                if cfg.parallel_lr is not None:
+                    # seed s's lr rides its optimizer state; the vmapped
+                    # update reads it per lane (make_optimizer injects)
+                    o = o._replace(hyperparams={
+                        **o.hyperparams,
+                        "learning_rate": jnp.asarray(
+                            cfg.parallel_lr[s], jnp.float32
+                        ),
+                    })
+                olist.append(o)
+            self.rng = _stack_seed_trees(rngs)
+            self.params = _stack_seed_trees(plist)
+            self.opt_state = _stack_seed_trees(olist)
+        self.mem = self._fresh_mem()
         self.index_state = self._fresh_index()
         self._apply_shardings()
 
@@ -304,7 +362,20 @@ class Trainer:
         # draw + wave schedule + H2D upload can happen while the device still
         # runs epoch e (the tunnel's H2D is the dominant host-side cost);
         # base is deterministic under --seed, random under --enable_random
-        self._neg_base = int(np.random.randint(0, 2**31 - 1))
+        if self._n_seeds == 1:
+            self._neg_base = int(np.random.randint(0, 2**31 - 1))
+        elif cfg.enable_random:
+            self._neg_base = np.random.randint(
+                0, 2**31 - 1, self._n_seeds
+            ).astype(np.int64)
+        else:
+            # seed s's base = the first draw a single Trainer with
+            # cfg.seed = seed + s would make (np.random.seed(seed_s) then
+            # randint — identical to RandomState(seed_s).randint)
+            self._neg_base = np.asarray(
+                [np.random.RandomState(cfg.seed + s).randint(0, 2**31 - 1)
+                 for s in range(self._n_seeds)], np.int64,
+            )
         if jax.process_count() > 1:
             # multi-controller JAX requires every process to feed identical
             # global arrays: under --enable_random each process would draw a
@@ -369,6 +440,46 @@ class Trainer:
             return ()
         return init_tppr_state(cfg.n_tppr, cfg.n_nodes, cfg.topk)
 
+    def _fresh_mem(self):
+        """Zeroed node memory; leading seed axis when seed-parallel."""
+        cfg = self.cfg
+        mem = init_memory(cfg.n_nodes, cfg.memory_dim, cfg.msg_table_dim,
+                          jnp.dtype(cfg.message_dtype),
+                          jnp.dtype(cfg.memory_dtype))
+        if self._n_seeds > 1:
+            mem = jax.tree.map(
+                lambda x: jnp.zeros((self._n_seeds,) + x.shape, x.dtype), mem
+            )
+        return mem
+
+    def _split_rng(self):
+        """(next rng, epoch rng); per seed when seed-parallel. vmapped split
+        equals per-key split for both PRNG impls (tested)."""
+        if self._n_seeds == 1:
+            return jax.random.split(self.rng)
+        pair = jax.vmap(jax.random.split)(self.rng)   # [S, 2, key]
+        return pair[:, 0], pair[:, 1]
+
+    def _fold_rng(self, rng, ci: int):
+        if self._n_seeds == 1:
+            return jax.random.fold_in(rng, ci)
+        return jax.vmap(lambda k: jax.random.fold_in(k, ci))(rng)
+
+    def _negs_to_dev(self, negs: np.ndarray):
+        """Upload train negatives: [E] as-is; seed-parallel [S, E] uploads in
+        the phases' [E, S] device layout."""
+        if negs.ndim == 1:
+            return self._to_dev(negs)
+        return self._to_dev(np.ascontiguousarray(negs.T))
+
+    def _flush_mem(self):
+        """Train→eval flush of all pending messages; per seed when
+        seed-parallel (reference update_memory_in_test)."""
+        cfg = self.cfg
+        if self._n_seeds == 1:
+            return flush_pending_messages(cfg, self.params, _copy(self.mem))
+        return _flush_mem_seeds(cfg, self.params, _copy(self.mem))
+
     def _upload_stream(self, data: Data, sampler):
         """Pad a chronological stream to whole batches — and to equal-size
         wave-pipeline superchunks, so each stream compiles exactly one
@@ -428,16 +539,24 @@ class Trainer:
 
     def _draw_train_negs(self, epoch_id: int) -> np.ndarray:
         """This epoch's training negatives, padded to the stream length
-        (fresh per epoch — reference train.py:203)."""
+        (fresh per epoch — reference train.py:203). Seed-parallel: one
+        independent draw per seed, [S, E] — each row is exactly the draw a
+        single Trainer with that seed would make."""
         n = self.splits.train.n_interactions
-        rs = np.random.RandomState(
-            (self._neg_base + 0x9E3779B1 * (epoch_id + 1)) % (2**32)
-        )
-        _, negs = self.train_sampler.sample_with(rs, n)
         pad = self._streams["train"].stream.src.shape[0] - n
-        if pad:
-            negs = np.concatenate([negs, np.zeros(pad, negs.dtype)])
-        return negs.astype(np.int32)
+
+        def draw(base):
+            rs = np.random.RandomState(
+                (int(base) + 0x9E3779B1 * (epoch_id + 1)) % (2**32)
+            )
+            _, negs = self.train_sampler.sample_with(rs, n)
+            if pad:
+                negs = np.concatenate([negs, np.zeros(pad, negs.dtype)])
+            return negs.astype(np.int32)
+
+        if self._n_seeds == 1:
+            return draw(self._neg_base)
+        return np.stack([draw(b) for b in self._neg_base])
 
     def _wave_scheds(self, stream_name: str, negs: np.ndarray) -> list:
         """Wave schedules for every superchunk of a stream under the given
@@ -456,7 +575,8 @@ class Trainer:
             hi = lo + chunk
             v = host["valid"][lo:hi]
             flat_valid, n_waves = wave_flat_index(
-                host["src"][lo:hi][v], host["dst"][lo:hi][v], negs[lo:hi][v],
+                host["src"][lo:hi][v], host["dst"][lo:hi][v],
+                negs[..., lo:hi][..., v],   # [E'] or [S, E'] (seed-parallel)
                 cfg.n_nodes, cap=cfg.wave_cap, n_shards=n_shards,
             )
             raw.append((hi - lo, v, flat_valid, n_waves))
@@ -483,7 +603,7 @@ class Trainer:
         the H2D transfers — ~25% of epoch wall time on tunneled deployments —
         hide under the device compute of the running epoch."""
         negs = self._draw_train_negs(epoch_id)
-        negs_dev = self._to_dev(negs)
+        negs_dev = self._negs_to_dev(negs)
         use_waves = (
             self.cfg.embedding_module == "diffusion"
             and self.cfg.tppr_strategy == "streaming"
@@ -538,7 +658,7 @@ class Trainer:
             self._train_prefetch = None
             self._epoch_negs = negs
             if negs_dev is None:
-                negs_dev = self._to_dev(negs)
+                negs_dev = self._negs_to_dev(negs)
             t_index += time.time() - ti0
             stream = stream._replace(neg=negs_dev)
             host = dict(host, neg=negs)
@@ -553,11 +673,25 @@ class Trainer:
             t_index += time.time() - ti0
 
         if not use_waves:
-            self.params, self.opt_state, self.mem, index_state, metrics = run_phase(
-                run_cfg, train, n_batches,
-                self.params, self.opt_state, self.mem, index_state,
-                rng, self.edge_feats, nbr_index, stream,
-            )
+            if self._n_seeds > 1:
+                # pruning / recursive towers: per-seed queries are computed
+                # inside the vmapped seed step; the carried index is () here
+                # (only streaming-diffusion has a stateful index, and that
+                # config always takes the wave path)
+                self.params, self.opt_state, self.mem, metrics = (
+                    run_phase_seeds(
+                        run_cfg, train, n_batches,
+                        self.params, self.opt_state, self.mem,
+                        rng, self.edge_feats, nbr_index, stream,
+                    )
+                )
+            else:
+                (self.params, self.opt_state, self.mem, index_state,
+                 metrics) = run_phase(
+                    run_cfg, train, n_batches,
+                    self.params, self.opt_state, self.mem, index_state,
+                    rng, self.edge_feats, nbr_index, stream,
+                )
             if train:
                 self._chunk_cursor = n_chunks  # phase runs whole epochs
                 self._train_prefetch = self._prepare_train_epoch(
@@ -616,12 +750,23 @@ class Trainer:
                         # exact index/tower split, at the cost of overlap
                         jax.block_until_ready(queries)
                     t_index += time.time() - ti0
-                    self.params, self.opt_state, self.mem, _, metrics = run_phase(
-                        run_cfg, train, (hi - lo) // cfg.bs,
-                        self.params, self.opt_state, self.mem, (),
-                        jax.random.fold_in(rng, ci), self.edge_feats,
-                        nbr_index, chunk_stream, queries,
-                    )
+                    if self._n_seeds > 1:
+                        self.params, self.opt_state, self.mem, metrics = (
+                            run_phase_seeds(
+                                run_cfg, train, (hi - lo) // cfg.bs,
+                                self.params, self.opt_state, self.mem,
+                                self._fold_rng(rng, ci), self.edge_feats,
+                                nbr_index, chunk_stream, queries,
+                            )
+                        )
+                    else:
+                        (self.params, self.opt_state, self.mem, _,
+                         metrics) = run_phase(
+                            run_cfg, train, (hi - lo) // cfg.bs,
+                            self.params, self.opt_state, self.mem, (),
+                            jax.random.fold_in(rng, ci), self.edge_feats,
+                            nbr_index, chunk_stream, queries,
+                        )
                 all_metrics.append(metrics)
                 self._chunk_cursor = ci + 1
             if train and self._chunk_cursor >= n_chunks:
@@ -644,10 +789,14 @@ class Trainer:
             start_b = start_chunk * (chunk // cfg.bs)
             real_batches = max(1, min(ms.loss.shape[0], real_batches - start_b))
 
+        # seed-parallel metrics carry a trailing seed axis: average over
+        # batches only, so PhaseResult fields are per-seed [S] arrays
         mean = [
-            float(x[:real_batches].mean())
+            x[:real_batches].mean(axis=0)
             for x in (ms.loss, ms.ap, ms.auc, ms.acc)
         ]
+        if self._n_seeds == 1:
+            mean = [float(x) for x in mean]
         return index_state, PhaseResult(
             loss=mean[0], ap=mean[1], auc=mean[2], acc=mean[3],
             seconds=time.time() - t0,
@@ -657,8 +806,15 @@ class Trainer:
 
     def _eval_rng(self, seed: int):
         """Evaluation negatives reset deterministically per phase (reference
-        evaluation.py:9-10)."""
-        return jax.random.PRNGKey(1_000_003 + seed)
+        evaluation.py:9-10). Seed-parallel: the same key tiled to [S] — eval
+        is deterministic (no dropout), but the vmapped phase expects the
+        stacked key layout."""
+        key = jax.random.PRNGKey(1_000_003 + seed)
+        if self._n_seeds > 1:
+            key = jnp.stack([key] * self._n_seeds)  # materialized: the phase
+            # program donates its rng argument, and a broadcast view would
+            # defeat the donation
+        return key
 
     # ---------------------------------------------------------------- epochs
 
@@ -686,7 +842,7 @@ class Trainer:
             snapshot = (_copy(self.params), _copy(self.opt_state))
         if start_chunk == 0:
             self._reset_epoch_state()
-            self.rng, self._epoch_rng = jax.random.split(self.rng)
+            self.rng, self._epoch_rng = self._split_rng()
         self.index_state, result = self._phase(
             "train", True, self.index_state, self.train_nbr_index,
             self._epoch_rng, start_chunk, max_chunks,
@@ -738,7 +894,9 @@ class Trainer:
 
     def _reset_epoch_state(self):
         """Zeroed memory + empty index, sharded when a mesh is active."""
-        self.mem, self.index_state = _fresh_epoch_state(self.cfg)
+        self.mem, self.index_state = _fresh_epoch_state(
+            self.cfg, self._n_seeds
+        )
         if self._mesh is not None:
             from zebra_tpu.parallel import shard_index_state, shard_memory
 
@@ -754,7 +912,7 @@ class Trainer:
         train_idx = self.index_state
 
         # one-time train→eval flush (reference tgn_model.py:143-146)
-        self.mem = flush_pending_messages(cfg, self.params, _copy(self.mem))
+        self.mem = self._flush_mem()
 
         self.index_state, trans = self._phase(
             "val", False, _copy(train_idx), self.full_nbr_index,
@@ -829,6 +987,17 @@ class Trainer:
         ``chunk`` to ``train_epoch(start_chunk=...)`` to finish a partially
         trained epoch."""
         ckpt = load_checkpoint(path)
+        saved_cfg = ckpt.get("cfg")
+        if saved_cfg is not None and (
+            max(1, int(saved_cfg.parallel_runs)) != self._n_seeds
+        ):
+            raise ValueError(
+                f"checkpoint was written with parallel_runs="
+                f"{saved_cfg.parallel_runs}, this Trainer has "
+                f"parallel_runs={self.cfg.parallel_runs} — the stacked "
+                f"state shapes are incompatible (serve a single seed via "
+                f"LinkPredictor.from_checkpoint(run_index=...))"
+            )
         as_dev = lambda t: jax.tree.map(self._to_dev, t)
         self.params = as_dev(ckpt["params"])
         self.opt_state = as_dev(ckpt["opt_state"])
@@ -860,7 +1029,10 @@ class Trainer:
         self._epoch_rng = jnp.asarray(erng) if erng is not None else None
         self._epoch_id = int(ckpt.get("epoch_id", 0))
         if ckpt.get("neg_base") is not None:
-            self._neg_base = int(ckpt["neg_base"])
+            nb = ckpt["neg_base"]
+            self._neg_base = (
+                np.asarray(nb, np.int64) if np.ndim(nb) else int(nb)
+            )
         self._train_prefetch = None  # keyed to the pre-restore epoch stream
         self._fit_state = ckpt.get("fit")
         return int(ckpt["epoch"]), chunk
@@ -874,6 +1046,8 @@ class Trainer:
         ``--state_every``) and continues the epoch loop from it, including
         the early-stop monitor and a mid-epoch stream cursor if one was
         saved."""
+        if self._n_seeds > 1:
+            return self._fit_seeds(n_epoch, resume_from)
         cfg = self.cfg
         n_epoch = n_epoch or cfg.n_epoch
         stopper = EarlyStopMonitor(max_round=cfg.patience)
@@ -968,6 +1142,168 @@ class Trainer:
             "stop_epoch": float(stop_epoch),
         }
 
+    def _fit_seeds(self, n_epoch: Optional[int] = None,
+                   resume_from: Optional[str] = None) -> Dict:
+        """Seed-parallel fit: the reference's sequential multi-run loop
+        (reference train.py:149) collapsed into ONE epoch loop with per-seed
+        early stopping. Each seed keeps its own stopper and best-epoch
+        (params, mem) snapshot; a stopped seed keeps riding the vmapped
+        phases (harmless — its frozen snapshot is what test uses), so
+        wall-clock is bounded by the slowest-stopping seed, exactly like the
+        longest run of a sequential sweep. Test evaluates every seed in one
+        vmapped pass: stopped seeds from their best snapshot (the reference
+        reloads the best checkpoint on early stop, train.py:285-287),
+        unstopped seeds from their final state. Returns mean/σ per metric
+        plus the per-seed values."""
+        cfg = self.cfg
+        s_n = self._n_seeds
+        n_epoch = n_epoch or cfg.n_epoch
+        stoppers = [EarlyStopMonitor(max_round=cfg.patience)
+                    for _ in range(s_n)]
+        stopped = [False] * s_n
+        stop_epoch = [-1] * s_n
+        best: list = [None] * s_n    # (params_s, mem_s) at the best val epoch
+        timers = PhaseTimers()
+        n_train_events = self.splits.train.n_interactions
+
+        start_epoch, start_chunk = 0, 0
+        if resume_from:
+            start_epoch, start_chunk = self.restore_state(resume_from)
+            for s, fields in enumerate(
+                (self._fit_state or {}).get("per_seed", [])[:s_n]
+            ):
+                fields = dict(fields)
+                stopped[s] = bool(fields.pop("stopped", False))
+                stop_epoch[s] = int(fields.pop("stop_epoch", -1))
+                for k, v in fields.items():
+                    setattr(stoppers[s], k, v)
+            if os.path.exists(self.checkpoint_path):
+                ckpt = load_checkpoint(self.checkpoint_path)
+                bp = jax.tree.map(jnp.asarray, ckpt["params"])
+                bm = jax.tree.map(jnp.asarray, ckpt["mem"])
+                best = [(_slice_seed(bp, s), _slice_seed(bm, s))
+                        for s in range(s_n)]
+            logger.info(
+                "resumed seed-parallel fit from %s at epoch %d chunk %d",
+                resume_from, start_epoch, start_chunk,
+            )
+        state_path = os.path.join(
+            cfg.checkpoint_dir, cfg.run_name() + ".state.ckpt"
+        )
+
+        def snap_best():
+            """Stacked best-or-current (params, mem) for the disk checkpoint."""
+            ps = [best[s][0] if best[s] is not None
+                  else _slice_seed(self.params, s) for s in range(s_n)]
+            ms = [best[s][1] if best[s] is not None
+                  else _slice_seed(self.mem, s) for s in range(s_n)]
+            return _stack_seed_trees(ps), _stack_seed_trees(ms)
+
+        for epoch in range(start_epoch, n_epoch):
+            with trace_context(
+                cfg.trace_dir if epoch == cfg.trace_epoch else None
+            ):
+                with timers.time("train", n_train_events):
+                    tr = self.train_epoch(
+                        start_chunk=start_chunk if epoch == start_epoch else 0
+                    )
+            timers.seconds["tppr"] += tr.index_seconds
+            with timers.time("val"):
+                trans, induct = self.validate()
+            logger.info(
+                "epoch: %d (%d seeds, %d live), tppr: %.2fs, train: %.2fs, "
+                "val: %.2fs, train events/s (aggregate): %.0f",
+                epoch + 1, s_n, sum(not x for x in stopped),
+                tr.index_seconds, tr.seconds,
+                trans.seconds + induct.seconds,
+                s_n * n_train_events / max(tr.seconds, 1e-9),
+            )
+            logger.info("train ap: %s, train loss: %s",
+                        _fmt_seeds(tr.ap), _fmt_seeds(tr.loss))
+            logger.info("val ap: %s, new node val ap: %s",
+                        _fmt_seeds(trans.ap), _fmt_seeds(induct.ap))
+
+            improved = False
+            for s in range(s_n):
+                if stopped[s]:
+                    continue
+                if stoppers[s].early_stop_check(float(trans.ap[s])):
+                    stopped[s] = True
+                    stop_epoch[s] = epoch + 1
+                    logger.info("seed %d stopped at epoch %d (best epoch %d)",
+                                s, epoch + 1, stoppers[s].best_epoch + 1)
+                elif epoch == stoppers[s].best_epoch:
+                    best[s] = (_slice_seed(self.params, s),
+                               _slice_seed(self.mem, s))
+                    improved = True
+            if improved:
+                bp, bm = snap_best()
+                save_checkpoint(self.checkpoint_path,
+                                {"params": bp, "mem": bm})
+            if all(stopped):
+                break
+            if cfg.state_every and (epoch + 1) % cfg.state_every == 0:
+                self._fit_state = {"per_seed": [
+                    {
+                        "num_round": st.num_round,
+                        "epoch_count": st.epoch_count,
+                        "best_epoch": st.best_epoch,
+                        "last_best": st.last_best,
+                        "stopped": stopped[s],
+                        "stop_epoch": stop_epoch[s],
+                    }
+                    for s, st in enumerate(stoppers)
+                ]}
+                self.save_state(state_path, epoch=epoch + 1, chunk=0)
+                self._fit_state = None
+
+        # test protocol: stopped seeds from their best snapshot, unstopped
+        # ones from their final state (= the single-run reference protocol,
+        # train.py:285-287 / 294)
+        for s in range(s_n):
+            if not stopped[s] or best[s] is None:
+                best[s] = (_slice_seed(self.params, s),
+                           _slice_seed(self.mem, s))
+        self.params = _stack_seed_trees([b[0] for b in best])
+        self.mem = _stack_seed_trees([b[1] for b in best])
+
+        with timers.time("test"):
+            t_trans, t_induct = self.test()
+        logger.info("phase totals: %s", timers.summary())
+        logger.info("Test statistics: Old nodes -- ap: %s, auc: %s, acc: %s",
+                    _fmt_seeds(t_trans.ap), _fmt_seeds(t_trans.auc),
+                    _fmt_seeds(t_trans.acc))
+        logger.info("Test statistics: New nodes -- ap: %s, auc: %s, acc: %s",
+                    _fmt_seeds(t_induct.ap), _fmt_seeds(t_induct.auc),
+                    _fmt_seeds(t_induct.acc))
+        if not cfg.save_best and os.path.exists(self.checkpoint_path):
+            os.remove(self.checkpoint_path)
+
+        mean = lambda x: float(np.asarray(x).mean())
+        std = lambda x: float(np.asarray(x).std())
+        aslist = lambda x: [float(v) for v in np.asarray(x)]
+        return {
+            "test_ap": mean(t_trans.ap), "test_ap_std": std(t_trans.ap),
+            "test_auc": mean(t_trans.auc), "test_acc": mean(t_trans.acc),
+            "nn_test_ap": mean(t_induct.ap),
+            "nn_test_ap_std": std(t_induct.ap),
+            "nn_test_auc": mean(t_induct.auc),
+            "nn_test_acc": mean(t_induct.acc),
+            "stop_epoch": float(np.mean(stop_epoch)),
+            "per_seed": {
+                "test_ap": aslist(t_trans.ap),
+                "test_auc": aslist(t_trans.auc),
+                "test_acc": aslist(t_trans.acc),
+                "nn_test_ap": aslist(t_induct.ap),
+                "nn_test_auc": aslist(t_induct.auc),
+                "nn_test_acc": aslist(t_induct.acc),
+                "stop_epoch": [float(e) for e in stop_epoch],
+                "lr": [float(lr) for lr in (
+                    cfg.parallel_lr or (cfg.lr,) * s_n
+                )],
+            },
+        }
+
 
 @jax.jit
 def _gather_stream(full, pos, negs, valid) -> Stream:
@@ -982,15 +1318,49 @@ def _gather_stream(full, pos, negs, valid) -> Stream:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _fresh_epoch_state(cfg: Config):
+@functools.partial(jax.jit, static_argnames=("cfg", "n_seeds"))
+def _fresh_epoch_state(cfg: Config, n_seeds: int = 1):
     mem = init_memory(cfg.n_nodes, cfg.memory_dim, cfg.msg_table_dim,
                       jnp.dtype(cfg.message_dtype), jnp.dtype(cfg.memory_dtype))
+    if n_seeds > 1:
+        # seed-parallel: per-seed memory; the index state stays UNSTACKED
+        # (its evolution is seed-independent — negatives are extraction-only)
+        mem = jax.tree.map(
+            lambda x: jnp.zeros((n_seeds,) + x.shape, x.dtype), mem
+        )
     if cfg.embedding_module == "diffusion" and cfg.tppr_strategy == "streaming":
         index = init_tppr_state(cfg.n_tppr, cfg.n_nodes, cfg.topk)
     else:
         index = ()
     return mem, index
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("mem",))
+def _flush_mem_seeds(cfg: Config, params, mem):
+    """Per-seed train→eval flush, vmapped over the leading seed axis in ONE
+    top-level jit so the [S, ...] memory buffers donate cleanly."""
+    from zebra_tpu.train.step import flush_pending_impl
+
+    return jax.vmap(lambda p, m: flush_pending_impl(cfg, p, m))(params, mem)
+
+
+def _stack_seed_trees(trees):
+    """Stack a list of per-seed pytrees along a new leading seed axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+@functools.partial(jax.jit, static_argnames=("s",))
+def _slice_seed(tree, s: int):
+    """Seed ``s``'s slice of a stacked pytree — one fused dispatch per call
+    (per-leaf host slicing would cost a tunneled round trip per array)."""
+    return jax.tree.map(lambda x: x[s], tree)
+
+
+def _fmt_seeds(x) -> str:
+    """Log format for a per-seed metric vector: mean±σ plus the values."""
+    a = np.asarray(x, np.float64).ravel()
+    vals = ", ".join(f"{v:.6f}" for v in a)
+    return f"{a.mean():.6f}±{a.std():.6f} [{vals}]"
 
 
 @jax.jit

@@ -79,6 +79,12 @@ class StepMetrics(NamedTuple):
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    if cfg.parallel_lr is not None:
+        # per-seed lr sweeps (--parallel_lr): the learning rate rides the
+        # optimizer STATE (inject_hyperparams), so each vmapped seed lane of
+        # the seed-parallel phase reads its own value; numerically identical
+        # to optax.adam(lr) for any fixed lr
+        return optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr)
     return optax.adam(cfg.lr)
 
 
@@ -503,11 +509,11 @@ def eval_store_commit(cfg, params, mem: MemoryState, edge_feats, src, dst,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("mem",))
-def flush_pending_messages(cfg: Config, params: TgnParams, mem: MemoryState) -> MemoryState:
+def flush_pending_impl(cfg: Config, params: TgnParams, mem: MemoryState) -> MemoryState:
     """One-time train→eval flush of ALL pending messages (reference
     update_memory_in_test, memory_updater.py:46-57). Dense over N rows —
-    runs a handful of times per epoch."""
+    runs a handful of times per epoch. Unjitted body: the seed-parallel
+    Trainer vmaps it inside its own top-level jit (loop._flush_mem_seeds)."""
     msg, f = message_input(cfg, params, mem, None)  # dense, no gather
     upd = cell_apply(cfg, params, msg, mem.memory)
     return mem._replace(
@@ -516,3 +522,8 @@ def flush_pending_messages(cfg: Config, params: TgnParams, mem: MemoryState) -> 
         messages=jnp.zeros_like(mem.messages),
         msg_count=jnp.zeros_like(mem.msg_count),
     )
+
+
+flush_pending_messages = functools.partial(
+    jax.jit, static_argnames=("cfg",), donate_argnames=("mem",)
+)(flush_pending_impl)
