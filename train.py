@@ -67,6 +67,12 @@ def main(argv=None):
     if cfg.ignore_node_feats:
         node_feats = None
 
+    if cfg.task == "node" and cfg.parallel_runs > 1:
+        raise SystemExit(
+            "--task node is single-seed: the downstream decoder consumes one "
+            "model's embeddings (drop --parallel_runs, or train seed-parallel "
+            "with --task link and serve one seed via run_index)"
+        )
     if cfg.parallel_runs > 1:
         # all seeds advance concurrently in ONE Trainer (vmapped seed axis,
         # shared index scan) — the TPU-native form of the sequential
@@ -91,6 +97,24 @@ def main(argv=None):
             cfg.replace(seed=cfg.seed + run), splits, edge_feats, node_feats
         )
         results = trainer.fit(resume_from=cfg.resume_state if run == 0 else None)
+        if cfg.task == "node":
+            # downstream node classification on the frozen link-trained
+            # model (--task node): decoder on source embeddings vs event
+            # labels, ROC-AUC per stream
+            from zebra_tpu.train.node_classification import (
+                run_node_classification,
+            )
+
+            node = run_node_classification(
+                trainer, n_steps=cfg.node_decoder_steps,
+                lr=cfg.node_decoder_lr, seed=cfg.seed + run,
+            )
+            results.update(node)
+            logger.info(
+                "node classification auc -- train: %f, val: %f, test: %f",
+                node["node_train_auc"], node["node_val_auc"],
+                node["node_test_auc"],
+            )
         logger.info("run %d finished in %.1fs: %s", run, time.time() - t0, results)
 
 

@@ -57,6 +57,15 @@ class Config:
     patience: int = 5                # early-stop patience on val AP
     drop_out: float = 0.3            # reference --drop_out (vestigial for diffusion)
     n_runs: int = 1
+    task: str = "link"               # "link": self-supervised link prediction
+                                     # (the reference's only runnable task);
+                                     # "node": link-train first, then the
+                                     # downstream node-classification decoder
+                                     # on the frozen embeddings (the working
+                                     # form of the reference's broken
+                                     # evaluation/evaluation.py:51-78 path)
+    node_decoder_steps: int = 500    # decoder Adam steps (task="node")
+    node_decoder_lr: float = 1e-3
     parallel_runs: int = 1           # train this many independent seeds
                                      # (cfg.seed + s) CONCURRENTLY in one
                                      # Trainer: per-seed params/optimizer/
@@ -319,6 +328,10 @@ class Config:
         p.add_argument("--lr", type=float, default=1e-4)
         p.add_argument("--patience", type=int, default=5)
         p.add_argument("--n_runs", type=int, default=1)
+        p.add_argument("--task", type=str, default="link",
+                       choices=["link", "node"])
+        p.add_argument("--node_decoder_steps", type=int, default=500)
+        p.add_argument("--node_decoder_lr", type=float, default=1e-3)
         p.add_argument("--parallel_runs", type=int, default=1)
         p.add_argument("--parallel_lr", type=float, nargs="+", default=None)
         p.add_argument("--drop_out", type=float, default=0.3)

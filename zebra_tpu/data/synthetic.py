@@ -21,6 +21,7 @@ def synthetic_stream(
     edge_dim: int = 0,
     seed: int = 0,
     skew: float = 0.9,
+    label_users_frac: float = 0.0,
 ) -> Tuple[Data, Optional[np.ndarray]]:
     """Return a chronological Data stream plus an edge-feature matrix of shape
     ``[n_events + 1, edge_dim]`` (row 0 zero) or None when edge_dim == 0.
@@ -71,6 +72,12 @@ def synthetic_stream(
 
     edge_idxs = np.arange(1, n_events + 1, dtype=np.int32)
     labels = np.zeros(n_events)
+    if label_users_frac > 0:
+        # JODIE-style state labels for downstream node classification: a
+        # fixed subset of users emits label-1 events — learnable from the
+        # source embedding (node identity persists in memory)
+        flagged = rng.rand(n_users) < label_users_frac
+        labels = flagged[users0].astype(np.float64)
 
     data = Data(users.astype(np.int32), items.astype(np.int32), timestamps, edge_idxs, labels)
 

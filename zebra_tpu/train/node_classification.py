@@ -161,3 +161,64 @@ def eval_node_classification(decoder_params, embs, labels) -> float:
     gt = (pos[:, None] > neg[None, :]).mean()
     eq = (pos[:, None] == neg[None, :]).mean()
     return float(gt + 0.5 * eq)
+
+
+def run_node_classification(trainer, n_steps: int = 500, lr: float = 1e-3,
+                            seed: int = 0) -> dict:
+    """The full downstream protocol over a link-trained ``Trainer`` (the CLI's
+    ``--task node``): one fresh chronological replay of train→val→test with
+    the trained model under eval semantics, emitting per-event source
+    embeddings; the reference MLP head is fit on the train-stream embeddings
+    vs event labels and scored by ROC-AUC on all three streams.
+
+    This is the working equivalent of the reference's unrunnable
+    ``eval_node_classification`` (evaluation/evaluation.py:51-78 — it passes
+    nonexistent ``reuse``/``cache_plan`` kwargs); the decoder-on-source-
+    embedding protocol follows the reference head (utils/util.py:28-42) and
+    the upstream-TGN supervised recipe the reference inherited it from."""
+    import numpy as np
+
+    cfg = trainer.cfg
+    if getattr(trainer, "_n_seeds", 1) > 1:
+        raise ValueError(
+            "node classification runs on a single-seed Trainer — slice one "
+            "seed first (serve.LinkPredictor.from_checkpoint(run_index=...) "
+            "semantics)"
+        )
+    from zebra_tpu.train.loop import _fresh_epoch_state
+
+    mem, index_state = _fresh_epoch_state(cfg)
+    mem = jax.tree.map(jnp.asarray, mem)
+
+    split_of = {"train": trainer.splits.train, "val": trainer.splits.val,
+                "test": trainer.splits.test}
+    nbr_of = {"train": trainer.train_nbr_index,
+              "val": trainer.full_nbr_index,
+              "test": trainer.full_nbr_index}
+    embs, labels = {}, {}
+    for name in ("train", "val", "test"):
+        ps = trainer._streams[name]
+        stream = ps.stream
+        use_nbr = (
+            () if (cfg.embedding_module == "diffusion"
+                   and cfg.tppr_strategy == "streaming")
+            else nbr_of[name]
+        )
+        mem, index_state, e = collect_source_embeddings(
+            cfg, ps.n_batches, trainer.params, mem, index_state,
+            trainer.edge_feats, use_nbr, stream,
+        )
+        valid = np.asarray(trainer._host_streams[name]["valid"])
+        embs[name] = np.asarray(e).reshape(-1, cfg.hidden_dim)[valid]
+        labels[name] = np.asarray(split_of[name].labels, np.float32)
+
+    decoder = train_node_classifier(
+        jnp.asarray(embs["train"]), jnp.asarray(labels["train"]),
+        jax.random.PRNGKey(seed), n_steps=n_steps, lr=lr,
+    )
+    return {
+        f"node_{name}_auc": eval_node_classification(
+            decoder, jnp.asarray(embs[name]), jnp.asarray(labels[name])
+        )
+        for name in ("train", "val", "test")
+    }
