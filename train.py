@@ -3,12 +3,20 @@
 --beta_list 0.9`` entry point (reference train.py).
 
 Expects preprocessed data under ``{data_dir}/{name}/ml_{name}.csv`` (see
-``python -m zebra_tpu.data.preprocess``)."""
+``python -m zebra_tpu.data.preprocess``).
+
+SIGTERM (preemption, maintenance events) is handled gracefully: the run
+stops at the next superchunk boundary, writes a resumable full-state
+checkpoint, and exits; restart with ``--resume_state <path>`` to continue
+exactly (the reference loses the run — it checkpoints only at best-val
+epochs, reference train.py:289-291)."""
 
 from __future__ import annotations
 
+import contextlib
 import logging
 import os
+import signal
 import sys
 import time
 
@@ -28,6 +36,35 @@ from zebra_tpu.utils.compile_cache import enable as _enable_compile_cache
 from zebra_tpu.config import Config
 from zebra_tpu.data.dataset import get_data, load_feat
 from zebra_tpu.train.loop import Trainer
+
+
+@contextlib.contextmanager
+def _graceful_sigterm(trainer, logger):
+    """Route SIGTERM/SIGINT to ``Trainer.request_stop`` for the duration of
+    a fit: the epoch loop exits at the next superchunk boundary and writes a
+    resumable state checkpoint. Second signal falls back to the previous
+    handler (force-exit escape hatch)."""
+    prev = {}
+
+    def handler(signum, frame):
+        logger.info(
+            "signal %d: stopping at the next superchunk boundary "
+            "(send again to force)", signum,
+        )
+        trainer.request_stop()
+        for sig, h in prev.items():
+            signal.signal(sig, h)
+
+    try:
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            prev[sig] = signal.signal(sig, handler)
+    except ValueError:  # not the main thread (embedded use)
+        prev.clear()
+    try:
+        yield
+    finally:
+        for sig, h in prev.items():
+            signal.signal(sig, h)
 
 
 def setup_logging(cfg: Config) -> logging.Logger:
@@ -84,7 +121,8 @@ def main(argv=None):
             )
         t0 = time.time()
         trainer = Trainer(cfg, splits, edge_feats, node_feats)
-        results = trainer.fit(resume_from=cfg.resume_state)
+        with _graceful_sigterm(trainer, logger):
+            results = trainer.fit(resume_from=cfg.resume_state)
         logger.info(
             "%d parallel runs finished in %.1fs: %s",
             cfg.parallel_runs, time.time() - t0, results,
@@ -96,7 +134,16 @@ def main(argv=None):
         trainer = Trainer(
             cfg.replace(seed=cfg.seed + run), splits, edge_feats, node_feats
         )
-        results = trainer.fit(resume_from=cfg.resume_state if run == 0 else None)
+        with _graceful_sigterm(trainer, logger):
+            results = trainer.fit(
+                resume_from=cfg.resume_state if run == 0 else None
+            )
+        if results.get("interrupted"):
+            logger.info(
+                "run %d interrupted; resume with --resume_state %s",
+                run, results["state_path"],
+            )
+            return
         if cfg.task == "node":
             # downstream node classification on the frozen link-trained
             # model (--task node): decoder on source embeddings vs event

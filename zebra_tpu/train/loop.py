@@ -402,6 +402,17 @@ class Trainer:
         # early-stop monitor fields riding along in save_state (set around
         # fit's periodic checkpoint; restored by fit(resume_from=...))
         self._fit_state: Optional[Dict] = None
+        # cooperative preemption flag (request_stop / the CLI's SIGTERM
+        # handler): the train superchunk loop exits at the next chunk
+        # boundary and fit saves a resumable full-state checkpoint
+        self._stop_requested = False
+
+    def request_stop(self) -> None:
+        """Ask the running ``fit`` to stop at the next superchunk boundary
+        and write a resumable full-state checkpoint (the graceful-preemption
+        hook — the CLI wires SIGTERM to this). Safe from signal handlers:
+        only sets a flag."""
+        self._stop_requested = True
 
     # ---------------------------------------------------------------- helpers
 
@@ -769,6 +780,13 @@ class Trainer:
                         )
                 all_metrics.append(metrics)
                 self._chunk_cursor = ci + 1
+                if train and self._stop_requested:
+                    # cooperative preemption (request_stop / SIGTERM): leave
+                    # the epoch at a superchunk boundary — the cursor plus
+                    # the epoch negatives/rng already saved by save_state
+                    # make the restart exact (same machinery as --state_every
+                    # mid-epoch resume)
+                    break
             if train and self._chunk_cursor >= n_chunks:
                 # epoch fully dispatched: prep the NEXT epoch while the
                 # device drains this one (the metric sync below waits on it)
@@ -1078,6 +1096,26 @@ class Trainer:
                     tr = self.train_epoch(
                         start_chunk=start_chunk if epoch == start_epoch else 0
                     )
+            if self._stop_requested:
+                self._fit_state = {
+                    "num_round": stopper.num_round,
+                    "epoch_count": stopper.epoch_count,
+                    "best_epoch": stopper.best_epoch,
+                    "last_best": stopper.last_best,
+                }
+                done = self._chunk_cursor >= self._streams["train"].n_chunks
+                self.save_state(
+                    state_path, epoch=epoch + 1 if done else epoch,
+                    chunk=0 if done else self._chunk_cursor,
+                )
+                self._fit_state = None
+                logger.info(
+                    "stop requested: resumable state saved to %s "
+                    "(epoch %d, chunk %d)", state_path, epoch,
+                    self._chunk_cursor,
+                )
+                return {"interrupted": True, "state_path": state_path,
+                        "stop_epoch": float(epoch)}
             timers.seconds["tppr"] += tr.index_seconds
             with timers.time("val"):
                 trans, induct = self.validate()
@@ -1207,6 +1245,34 @@ class Trainer:
                     tr = self.train_epoch(
                         start_chunk=start_chunk if epoch == start_epoch else 0
                     )
+            if self._stop_requested:
+                self._fit_state = {"per_seed": [
+                    {
+                        "num_round": st.num_round,
+                        "epoch_count": st.epoch_count,
+                        "best_epoch": st.best_epoch,
+                        "last_best": st.last_best,
+                        "stopped": stopped[s],
+                        "stop_epoch": stop_epoch[s],
+                    }
+                    for s, st in enumerate(stoppers)
+                ]}
+                done = self._chunk_cursor >= self._streams["train"].n_chunks
+                self.save_state(
+                    state_path, epoch=epoch + 1 if done else epoch,
+                    chunk=0 if done else self._chunk_cursor,
+                )
+                self._fit_state = None
+                bp, bm = snap_best()
+                save_checkpoint(self.checkpoint_path,
+                                {"params": bp, "mem": bm})
+                logger.info(
+                    "stop requested: resumable seed-parallel state saved to "
+                    "%s (epoch %d, chunk %d)", state_path, epoch,
+                    self._chunk_cursor,
+                )
+                return {"interrupted": True, "state_path": state_path,
+                        "stop_epoch": float(epoch)}
             timers.seconds["tppr"] += tr.index_seconds
             with timers.time("val"):
                 trans, induct = self.validate()
