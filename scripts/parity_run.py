@@ -47,6 +47,8 @@ REFERENCE = "/root/reference"
 SHIM = os.path.join(REPO, "scripts", "_numba_shim")
 
 VAL_AP_RE = re.compile(r"val ap: ([0-9.eE+-]+), new node val ap: ([0-9.eE+-]+)")
+SEED_VAL_RE = re.compile(r"(?<!node )val ap: ([0-9.eE+-]+)\u00b1")
+PARALLEL_RE = re.compile(r"parallel runs finished in [0-9.]+s: (\{.*\})")
 TEST_RE = re.compile(
     r"Test statistics: (Old|New) nodes -- auc: ([0-9.eE+-]+), ap: ([0-9.eE+-]+)"
 )
@@ -84,6 +86,23 @@ def parse_log(log_dir: str):
     if not files:
         raise FileNotFoundError(f"no log file under {log_dir}")
     text = open(files[-1]).read()
+    m = PARALLEL_RE.search(text)
+    if m:
+        # seed-parallel zebra run (--parallel): ONE results dict carries the
+        # per-seed test APs; per-epoch val AP uses the mean of the +-sigma line
+        import ast
+
+        res = ast.literal_eval(m.group(1))
+        per = res["per_seed"]
+        val_means = [float(v) for v in SEED_VAL_RE.findall(text)]
+        return {
+            "val_ap": val_means,
+            "nn_val_ap": [],
+            "test_ap": float(np.mean(per["test_ap"])),
+            "nn_test_ap": float(np.mean(per["nn_test_ap"])),
+            "test_ap_runs": [float(v) for v in per["test_ap"]],
+            "nn_test_ap_runs": [float(v) for v in per["nn_test_ap"]],
+        }
     val_ap = [(float(a), float(b)) for a, b in VAL_AP_RE.findall(text)]
     test_runs, nn_test_runs = [], []
     for typ, _auc, ap in TEST_RE.findall(text):
@@ -98,7 +117,8 @@ def parse_log(log_dir: str):
     }
 
 
-def run_reference(workdir: str, name: str, hp: dict) -> dict:
+def run_reference(workdir: str, name: str, hp: dict,
+                  extra: tuple = ()) -> dict:
     run_dir = os.path.join(workdir, "ref")
     os.makedirs(run_dir, exist_ok=True)
     # the reference reads ../data/{name} relative to its cwd
@@ -121,6 +141,7 @@ def run_reference(workdir: str, name: str, hp: dict) -> dict:
         "--node_dim", str(hp["dim"]), "--time_dim", str(hp["dim"]),
         "--memory_dim", str(hp["dim"]),
         *hp.get("flags", ()),
+        *extra,
     ]
     print("[parity] reference:", " ".join(cmd), flush=True)
     _run_checked(cmd, run_dir, env)
@@ -187,6 +208,10 @@ def main():
     ap.add_argument("--n_layer", type=int, default=2,
                     help="pruning query depth")
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--parallel", action="store_true",
+                    help="run the zebra side's repeats as ONE seed-parallel "
+                         "pass (--parallel_runs) instead of sequential "
+                         "--n_runs; the reference side stays sequential")
     ap.add_argument("--repeats", type=int, default=1,
                     help="runs per side (--n_runs on both); Δ is then "
                          "between per-side MEANS, reported with ±σ bands")
@@ -217,15 +242,20 @@ def main():
                   for f in args.flags.split(",") if f
                   for t in ("--" + f.split("=", 1)[0],
                             *f.split("=", 1)[1:])
-              ) + (("--n_runs", str(args.repeats))
-                   if args.repeats > 1 else ()))
+              ))
+    multi = (("--parallel_runs" if args.parallel else "--n_runs",
+              str(args.repeats)),) if args.repeats > 1 else ()
+    ref_multi = (("--n_runs", str(args.repeats)),) if args.repeats > 1 else ()
     name = "parity"
     os.makedirs(args.workdir, exist_ok=True)
     make_dataset(args.workdir, name, args.n_events, args.seed,
                  write_feats=not args.no_edge_feats)
 
-    results = {"reference": run_reference(args.workdir, name, hp)}
-    results["zebra(default bf16/rbg)"] = run_zebra(args.workdir, name, hp)
+    flat = lambda pairs: tuple(t for p in pairs for t in p)
+    results = {"reference": run_reference(args.workdir, name, hp,
+                                          flat(ref_multi))}
+    results["zebra(default bf16/rbg)"] = run_zebra(
+        args.workdir, name, hp, extra=flat(multi))
     if args.ab:
         results["zebra(f32 msgs)"] = run_zebra(
             args.workdir, name, hp, "f32", ("--message_dtype", "float32"))
