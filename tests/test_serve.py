@@ -337,3 +337,71 @@ def test_from_checkpoint_zero_feats_serves_without_matrix(tmp_path):
     probs = p.score(test.sources[:8], test.destinations[:8],
                     test.timestamps[:8])
     assert np.all(np.isfinite(probs))
+
+
+def test_ensemble_predictor_scores_are_member_mean(tmp_path):
+    """EnsemblePredictor over a seed-parallel checkpoint: score() equals the
+    mean of the per-seed predictors' scores, member_scores matches them, and
+    observe() keeps the equivalence (shared index scan, per-member memory)."""
+    from zebra_tpu.serve import EnsemblePredictor
+
+    trainer = _make_trainer("streaming", parallel_runs=2)
+    trainer.train_epoch()
+    path = str(tmp_path / "seedpar.ckpt")
+    trainer.save_state(path)
+    ef = np.asarray(trainer.edge_feats)
+
+    ens = LinkPredictor.from_checkpoint(path, edge_feats=ef, ensemble=True)
+    assert isinstance(ens, EnsemblePredictor) and ens.n_models == 2
+    members = [
+        LinkPredictor.from_checkpoint(path, edge_feats=ef, run_index=s)
+        for s in range(2)
+    ]
+
+    test = trainer.splits.test
+    s, d, t = test.sources[:16], test.destinations[:16], test.timestamps[:16]
+    per = np.stack([m.score(s, d, t) for m in members])
+    np.testing.assert_allclose(ens.score(s, d, t), per.mean(0),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(ens.member_scores(s, d, t), per,
+                               rtol=1e-5, atol=1e-6)
+
+    # stream a few observed interactions through everyone, re-score
+    val = trainer.splits.val
+    so, do_, to, eo = (val.sources[:20], val.destinations[:20],
+                       val.timestamps[:20], val.edge_idxs[:20])
+    ens.observe(so, do_, to, eo)
+    for m in members:
+        m.observe(so, do_, to, eo)
+    per2 = np.stack([m.score(s, d, t) for m in members])
+    np.testing.assert_allclose(ens.score(s, d, t), per2.mean(0),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_ensemble_predictor_guards(tmp_path):
+    import pytest
+
+    from zebra_tpu.serve import EnsemblePredictor
+
+    single = _make_trainer("streaming")
+    single.train_epoch()
+    p1 = str(tmp_path / "one.ckpt")
+    single.save_state(p1)
+    ef = np.asarray(single.edge_feats)
+    with pytest.raises(ValueError, match="seed-parallel"):
+        LinkPredictor.from_checkpoint(p1, edge_feats=ef, ensemble=True)
+    with pytest.raises(ValueError, match="seed-parallel"):
+        EnsemblePredictor.from_trainer(single)
+
+    par = _make_trainer("streaming", parallel_runs=2)
+    par.train_epoch()
+    p2 = str(tmp_path / "two.ckpt")
+    par.save_state(p2)
+    efp = np.asarray(par.edge_feats)
+    with pytest.raises(ValueError, match="not both"):
+        LinkPredictor.from_checkpoint(p2, edge_feats=efp, run_index=1,
+                                      ensemble=True)
+    with pytest.raises(ValueError, match="EnsemblePredictor"):
+        LinkPredictor.from_trainer(par)
+    ens = EnsemblePredictor.from_trainer(par)
+    assert ens.n_models == 2

@@ -52,9 +52,8 @@ def _arena_capacity(n_events: int) -> int:
     return -(-(2 * n_events) // _ARENA_BUCKET) * _ARENA_BUCKET
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _score_candidates(cfg: Config, params, mem, edge_feats, nodes2, times2,
-                      q: Optional[TpprQueries], nbr_index):
+def _score_impl(cfg: Config, params, mem, edge_feats, nodes2, times2,
+                q: Optional[TpprQueries], nbr_index):
     """Eval-mode embeddings for the 2b src‖dst rows scored by the affinity
     head; returns P(link) [B]. (The training forward's third, negative block
     is not materialized — its embedding would be discarded.)"""
@@ -67,8 +66,29 @@ def _score_candidates(cfg: Config, params, mem, edge_feats, nodes2, times2,
     return jax.nn.sigmoid(pos_logit)
 
 
+_score_candidates = functools.partial(
+    jax.jit, static_argnames=("cfg",)
+)(_score_impl)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _score_ensemble(cfg: Config, params, mem, edge_feats, nodes2, times2,
+                    q: Optional[TpprQueries], nbr_index):
+    """Deep-ensemble scoring over a [S, ...] seed axis (one seed-parallel
+    training pass, --parallel_runs): every member scores the candidates in
+    one vmapped dispatch — queries and the index are shared, only
+    params/memory differ — and the link probability is the ensemble mean."""
+    probs = jax.vmap(
+        lambda p, m: _score_impl(cfg, p, m, edge_feats, nodes2, times2, q,
+                                 nbr_index)
+    )(params, mem)
+    return probs.mean(axis=0)
+
+
 class LinkPredictor:
     """Stateful scorer over a (params, memory, index) snapshot."""
+
+    _stacked = False  # EnsemblePredictor: params/mem carry a [S, ...] axis
 
     def __init__(self, cfg: Config, params, mem: MemoryState, index_state,
                  edge_feats, nbr_index=(),
@@ -111,16 +131,18 @@ class LinkPredictor:
                         edge_feats=None,
                         events: Optional[Tuple[np.ndarray, ...]] = None,
                         rebuild_every: int = 1,
-                        run_index: int = 0) -> "LinkPredictor":
+                        run_index: int = 0,
+                        ensemble: bool = False) -> "LinkPredictor":
         """Build a predictor from a ``Trainer.save_state`` checkpoint file —
         no live Trainer needed (the deployment path). ``cfg`` defaults to the
         one stored in the checkpoint; ``edge_feats`` to zeros (matching
         ``--ignore_edge_feats`` / SNAP-style training); ``events`` (the
         training stream columns) is required only by strategies that query
-        an adjacency index (pruning / recursive towers). ``run_index``
-        selects which seed to serve from a seed-parallel checkpoint
-        (``--parallel_runs``: params/memory carry a leading seed axis; the
-        index state is shared)."""
+        an adjacency index (pruning / recursive towers). From a seed-parallel
+        checkpoint (``--parallel_runs``: params/memory carry a leading seed
+        axis; the index state is shared), ``run_index`` serves one seed and
+        ``ensemble=True`` serves ALL seeds as a deep ensemble
+        (:class:`EnsemblePredictor` — mean link probability)."""
         from zebra_tpu.train.checkpoint import load_checkpoint
 
         ckpt = load_checkpoint(path)
@@ -132,7 +154,17 @@ class LinkPredictor:
         as_dev = lambda t: jax.tree.map(jnp.asarray, t)
         params = as_dev(ckpt["params"])
         mem = as_dev(ckpt["mem"])
-        if cfg.parallel_runs > 1:
+        if ensemble:
+            if cfg.parallel_runs <= 1:
+                raise ValueError(
+                    "ensemble=True needs a seed-parallel checkpoint "
+                    "(--parallel_runs > 1); this one is single-seed"
+                )
+            if run_index:
+                raise ValueError("pass run_index OR ensemble=True, not both")
+            cls = EnsemblePredictor
+            cfg = cfg.replace(parallel_runs=1, parallel_lr=None)
+        elif cfg.parallel_runs > 1:
             if not 0 <= run_index < cfg.parallel_runs:
                 raise ValueError(
                     f"run_index {run_index} out of range for a "
@@ -189,10 +221,25 @@ class LinkPredictor:
 
     @classmethod
     def from_trainer(cls, trainer, rebuild_every: int = 1) -> "LinkPredictor":
+        n_seeds = getattr(trainer, "_n_seeds", 1)
+        if n_seeds > 1 and not cls._stacked:
+            raise ValueError(
+                "this Trainer is seed-parallel: serve all seeds with "
+                "EnsemblePredictor.from_trainer, or one seed via "
+                "from_checkpoint(run_index=...)"
+            )
+        if n_seeds == 1 and cls._stacked:
+            raise ValueError(
+                "EnsemblePredictor needs a seed-parallel Trainer "
+                "(--parallel_runs > 1)"
+            )
         copy = lambda t: jax.tree.map(jnp.copy, t) if t != () else ()
+        cfg = trainer.cfg
+        if cls._stacked:
+            cfg = cfg.replace(parallel_runs=1, parallel_lr=None)
         fu = trainer.splits.full
         return cls(
-            trainer.cfg, copy(trainer.params), copy(trainer.mem),
+            cfg, copy(trainer.params), copy(trainer.mem),
             copy(trainer.index_state), trainer.edge_feats,
             trainer.full_nbr_index,
             events=(fu.sources, fu.destinations, fu.timestamps, fu.edge_idxs),
@@ -325,27 +372,35 @@ class LinkPredictor:
                 )
             )
         cfg = self.cfg
+        if (q is None and cfg.embedding_module == "diffusion"
+                and (cfg.use_source_embedding_in_message
+                     or cfg.use_destination_embedding_in_message)):
+            q = self._queries(src, dst, t)
+        self.mem = self._updated_mem(q, src, dst, t, eidx)
+
+    def _updated_mem(self, q, src, dst, t, eidx):
+        """Eval-protocol memory update for observe(); overridden by the
+        ensemble to run per member."""
+        cfg = self.cfg
+        b = len(src)
         src_emb = dst_emb = None
         if (cfg.use_source_embedding_in_message
                 or cfg.use_destination_embedding_in_message):
-            if q is None and cfg.embedding_module == "diffusion":
-                q = self._queries(src, dst, t)
             nodes3 = jnp.asarray(np.concatenate([src, dst, dst]), jnp.int32)
             times3 = jnp.asarray(np.tile(t, 3), jnp.float32)
             emb = _forward(cfg, self.params, self.mem, self.edge_feats,
                            nodes3, times3, q, self.nbr_index, None,
                            train=False)
             src_emb, dst_emb = emb[:b], emb[b : 2 * b]
-        self.mem = _observe_mem(
+        return _observe_mem(
             self.cfg, self.params, self.mem, self.edge_feats,
             jnp.asarray(src), jnp.asarray(dst), jnp.asarray(t),
             jnp.asarray(eidx), src_emb, dst_emb,
         )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("mem",))
-def _observe_mem(cfg, params, mem, edge_feats, src, dst, t, eidx,
-                 src_emb=None, dst_emb=None):
+def _observe_mem_impl(cfg, params, mem, edge_feats, src, dst, t, eidx,
+                      src_emb=None, dst_emb=None):
     valid = jnp.ones(src.shape[0], bool)
     if cfg.aggregator == "last":
         # fused store+commit — skips the [N,msg]-table round trip,
@@ -357,3 +412,87 @@ def _observe_mem(cfg, params, mem, edge_feats, src, dst, t, eidx,
     positives = jnp.concatenate([src, dst])
     valid2 = jnp.concatenate([valid, valid])
     return _commit_pending(cfg, params, mem, positives, valid2)
+
+
+_observe_mem = functools.partial(
+    jax.jit, static_argnames=("cfg",), donate_argnames=("mem",)
+)(_observe_mem_impl)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("mem",))
+def _observe_mem_ensemble(cfg, params, mem, edge_feats, src, dst, t, eidx,
+                          q, nbr_index):
+    """Per-member eval-mode memory protocol over the seed axis (the index
+    scan and its queries are shared — computed once by the caller)."""
+    b = src.shape[0]
+    need_emb = (cfg.use_source_embedding_in_message
+                or cfg.use_destination_embedding_in_message)
+
+    def one(p, m):
+        src_emb = dst_emb = None
+        if need_emb:
+            nodes3 = jnp.concatenate([src, dst, dst])
+            times3 = jnp.concatenate([t, t, t])
+            emb = _forward(cfg, p, m, edge_feats, nodes3, times3, q,
+                           nbr_index, None, train=False)
+            src_emb, dst_emb = emb[:b], emb[b : 2 * b]
+        return _observe_mem_impl(cfg, p, m, edge_feats, src, dst, t, eidx,
+                                 src_emb, dst_emb)
+
+    return jax.vmap(one)(params, mem)
+
+
+class EnsemblePredictor(LinkPredictor):
+    """Deep-ensemble serving over a seed-parallel snapshot: ``params`` and
+    ``mem`` carry the ``[S, ...]`` seed axis of one ``--parallel_runs``
+    training pass, the T-PPR / adjacency index is shared (its evolution is
+    model-independent), and ``score`` returns the mean link probability of
+    the S members from ONE vmapped dispatch. ``observe`` runs the shared
+    index scan once and the eval memory protocol per member.
+
+    Build with ``LinkPredictor.from_checkpoint(path, ensemble=True)`` or
+    ``EnsemblePredictor.from_trainer(seed_parallel_trainer)``. The reference
+    has no ensemble story at all; sequential multi-run training plus ad-hoc
+    averaging is the closest it could come."""
+
+    _stacked = True
+
+    @property
+    def n_models(self) -> int:
+        return int(jax.tree.leaves(self.params)[0].shape[0])
+
+    def score(self, src, dst, t) -> np.ndarray:
+        q = self._queries(src, dst, t, with_neg=False)
+        nodes2 = jnp.asarray(
+            np.concatenate([np.asarray(src), np.asarray(dst)]), jnp.int32
+        )
+        times2 = jnp.asarray(
+            np.concatenate([np.asarray(t), np.asarray(t)]), jnp.float32
+        )
+        return np.asarray(
+            _score_ensemble(self.cfg, self.params, self.mem, self.edge_feats,
+                            nodes2, times2, q, self.nbr_index)
+        )
+
+    def member_scores(self, src, dst, t) -> np.ndarray:
+        """Per-member probabilities [S, B] (for calibration / disagreement
+        diagnostics; `score` is their mean)."""
+        q = self._queries(src, dst, t, with_neg=False)
+        nodes2 = jnp.asarray(
+            np.concatenate([np.asarray(src), np.asarray(dst)]), jnp.int32
+        )
+        times2 = jnp.asarray(
+            np.concatenate([np.asarray(t), np.asarray(t)]), jnp.float32
+        )
+        score_all = jax.vmap(
+            lambda p, m: _score_candidates(self.cfg, p, m, self.edge_feats,
+                                           nodes2, times2, q, self.nbr_index)
+        )
+        return np.asarray(score_all(self.params, self.mem))
+
+    def _updated_mem(self, q, src, dst, t, eidx):
+        return _observe_mem_ensemble(
+            self.cfg, self.params, self.mem, self.edge_feats,
+            jnp.asarray(src), jnp.asarray(dst), jnp.asarray(t),
+            jnp.asarray(eidx), q, self.nbr_index,
+        )
