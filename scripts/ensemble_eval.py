@@ -1,0 +1,88 @@
+"""Does the seed-parallel ensemble buy accuracy? Paired evaluation.
+
+Trains S seeds in ONE --parallel_runs pass on a synthetic stream, runs the
+reference protocol up to the val-end state, then streams the test split
+through an :class:`EnsemblePredictor` — scoring each batch's positives and
+seeded negatives BEFORE observing it (eval semantics) — and reports test AP
+per member and for the ensemble mean, from the same pass (perfectly paired:
+identical negatives, identical state evolution).
+
+    JAX_PLATFORMS=cpu python scripts/ensemble_eval.py seeds=5 n_events=30000
+"""
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import numpy as np
+
+    overrides = dict(seeds=5, n_events=30000, n_epoch=6, dim=64, topk=10)
+    for arg in sys.argv[1:]:
+        k, v = arg.split("=", 1)
+        overrides[k] = int(v)
+
+    from sklearn.metrics import average_precision_score
+
+    from zebra_tpu.config import Config
+    from zebra_tpu.data.dataset import split_data
+    from zebra_tpu.data.synthetic import synthetic_stream
+    from zebra_tpu.serve import EnsemblePredictor
+    from zebra_tpu.train.loop import Trainer
+
+    S, dim = overrides["seeds"], overrides["dim"]
+    data, edge_feats = synthetic_stream(
+        n_events=overrides["n_events"], n_users=2000, n_items=2000,
+        edge_dim=8, seed=1,
+    )
+    splits = split_data(
+        data.sources, data.destinations, data.timestamps, data.edge_idxs,
+        data.labels,
+    )
+    cfg = Config(
+        data="ens", bs=200, node_dim=dim, time_dim=dim, memory_dim=dim,
+        topk=overrides["topk"], alpha_list=(0.1, 0.1),
+        beta_list=(0.05, 0.95), tppr_strategy="streaming",
+        lr=1e-3, n_epoch=overrides["n_epoch"], patience=50,
+        parallel_runs=S, checkpoint_dir="/tmp/zebra_ens_ckpt",
+    )
+    trainer = Trainer(cfg, splits, edge_feats)
+    t0 = time.time()
+    for _ in range(cfg.n_epoch):
+        trainer.train_epoch()
+    trainer.validate()  # leaves the val-end state (reference test protocol)
+    print(f"trained {S} seeds x {cfg.n_epoch} epochs in {time.time()-t0:.0f}s")
+
+    ens = EnsemblePredictor.from_trainer(trainer)
+    test = splits.test
+    bs = cfg.bs
+    n = test.n_interactions
+    rng = np.random.RandomState(2)  # the test sampler's seed (SEED_TEST)
+    member_scores, labels = [], []
+    for lo in range(0, n, bs):
+        hi = min(lo + bs, n)
+        s, d, t = (test.sources[lo:hi], test.destinations[lo:hi],
+                   test.timestamps[lo:hi])
+        _, negs = trainer.test_sampler.sample_with(rng, hi - lo)
+        pos = ens.member_scores(s, d, t)              # [S, b]
+        neg = ens.member_scores(s, negs, t)           # [S, b]
+        member_scores.append(np.concatenate([pos, neg], axis=1))
+        labels.append(np.concatenate([np.ones(hi - lo), np.zeros(hi - lo)]))
+        ens.observe(s, d, t, test.edge_idxs[lo:hi])
+    scores = np.concatenate(member_scores, axis=1)    # [S, 2n]
+    y = np.concatenate(labels)
+
+    per_seed = [average_precision_score(y, scores[s]) for s in range(S)]
+    ens_ap = average_precision_score(y, scores.mean(axis=0))
+    print(f"per-seed test AP: "
+          + ", ".join(f"{v:.4f}" for v in per_seed))
+    print(f"mean of per-seed APs: {np.mean(per_seed):.4f} "
+          f"(best single: {max(per_seed):.4f})")
+    print(f"ENSEMBLE (mean prob) test AP: {ens_ap:.4f}  "
+          f"(+{ens_ap - np.mean(per_seed):.4f} vs mean member, "
+          f"{ens_ap - max(per_seed):+.4f} vs best member)")
+
+
+if __name__ == "__main__":
+    main()
