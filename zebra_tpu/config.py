@@ -312,6 +312,11 @@ class Config:
         name += f"_bs_{self.bs}_layer_{self.n_layer}_epoch_{self.n_epoch}_lr_{self.lr}"
         if self.enable_random:
             name += "_random_seed"
+        if self.parallel_runs > 1:
+            # seed-parallel checkpoints stack a [S, ...] axis — keep their
+            # log/checkpoint paths distinct from single-seed runs of the
+            # same config (restore_state rejects a width mismatch anyway)
+            name += f"_par_{self.parallel_runs}"
         return name
 
     # ------------------------------------------------------------------ CLI
