@@ -102,15 +102,29 @@ def main():
         elif k == "top":
             top = int(v)
         else:
-            # config override parsed against the dataclass default (ints/
-            # floats/strings; enough for profiling variants)
+            # config override parsed against the dataclass default; bool and
+            # sequence fields need explicit handling (bool('False') is True,
+            # type(default)(v) would silently invert 'off' arms — same rule
+            # as train_microbench's convert)
             from zebra_tpu.config import Config
 
             default = Config.__dataclass_fields__[k].default
-            overrides[k] = (
-                v if default is None or isinstance(default, str)
-                else type(default)(v)
-            )
+            if isinstance(default, bool):
+                if v.lower() in ("1", "true", "yes", "on"):
+                    overrides[k] = True
+                elif v.lower() in ("0", "false", "no", "off"):
+                    overrides[k] = False
+                else:
+                    raise ValueError(
+                        f"boolean override needs true/false, got {v!r}"
+                    )
+            elif isinstance(default, (tuple, list)):
+                elem = type(default[0]) if len(default) else float
+                overrides[k] = tuple(elem(x) for x in v.split(","))
+            elif default is None or isinstance(default, str):
+                overrides[k] = v
+            else:
+                overrides[k] = type(default)(v)
     capture(logdir, overrides)
     report(logdir, top)
 

@@ -124,3 +124,35 @@ def test_cli_sigterm_end_to_end(tmp_path):
     )
     assert out2.returncode == 0, out2.stdout[-2000:] + out2.stderr[-2000:]
     assert "Test statistics" in out2.stdout + out2.stderr
+
+
+def test_request_stop_at_epoch_boundary_resumes_exactly(tmp_path):
+    """A stop request that lands on a COMPLETED epoch (single-superchunk
+    stream: the break coincides with epoch completion, train_epoch resets
+    the cursor and advances the epoch id) must save (epoch+1, chunk 0) —
+    resuming must NOT retrain the finished epoch. Regression: the old
+    'cursor >= n_chunks' check read the already-reset cursor and re-ran the
+    epoch with the next epoch's negatives."""
+    kw = dict(n_epoch=3, patience=5, index_chunk=65536)  # one superchunk
+    full = _make_trainer("streaming", n_events=600,
+                         checkpoint_dir=str(tmp_path / "a"), **kw)
+    assert full._streams["train"].n_chunks == 1
+    ref = full.fit()
+
+    half = _make_trainer("streaming", n_events=600,
+                         checkpoint_dir=str(tmp_path / "b"), **kw)
+    half.request_stop()
+    out = half.fit()
+    assert out["interrupted"] is True
+    # the saved cursor must be an epoch boundary: epoch 1, chunk 0
+    from zebra_tpu.train.checkpoint import load_checkpoint
+
+    ckpt = load_checkpoint(out["state_path"])
+    assert int(ckpt["epoch"]) == 1 and int(ckpt["chunk"]) == 0
+
+    resumed = _make_trainer("streaming", n_events=600,
+                            checkpoint_dir=str(tmp_path / "b"), **kw)
+    out2 = resumed.fit(resume_from=out["state_path"])
+    for key in ("test_ap", "test_auc", "nn_test_ap", "nn_test_auc"):
+        np.testing.assert_allclose(out2[key], ref[key], rtol=0, atol=1e-6,
+                                   err_msg=key)

@@ -405,3 +405,16 @@ def test_ensemble_predictor_guards(tmp_path):
         LinkPredictor.from_trainer(par)
     ens = EnsemblePredictor.from_trainer(par)
     assert ens.n_models == 2
+
+
+def test_from_checkpoint_rejects_run_index_on_single_seed(tmp_path):
+    import pytest
+
+    trainer = _make_trainer("streaming")
+    trainer.train_epoch()
+    path = str(tmp_path / "one.ckpt")
+    trainer.save_state(path)
+    with pytest.raises(ValueError, match="single-seed"):
+        LinkPredictor.from_checkpoint(
+            path, edge_feats=np.asarray(trainer.edge_feats), run_index=2
+        )

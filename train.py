@@ -123,6 +123,12 @@ def main(argv=None):
         trainer = Trainer(cfg, splits, edge_feats, node_feats)
         with _graceful_sigterm(trainer, logger):
             results = trainer.fit(resume_from=cfg.resume_state)
+        if results.get("interrupted"):
+            logger.info(
+                "parallel run interrupted; resume with --resume_state %s",
+                results["state_path"],
+            )
+            return
         logger.info(
             "%d parallel runs finished in %.1fs: %s",
             cfg.parallel_runs, time.time() - t0, results,

@@ -173,6 +173,11 @@ class LinkPredictor:
             pick = lambda t: jax.tree.map(lambda x: x[run_index], t)
             params, mem = pick(params), pick(mem)
             cfg = cfg.replace(parallel_runs=1, parallel_lr=None)
+        elif run_index:
+            raise ValueError(
+                f"run_index {run_index} given, but this checkpoint is "
+                "single-seed (no seed axis to select from)"
+            )
         index_state = (
             as_dev(ckpt["index_state"]) if ckpt["index_state"] != () else ()
         )

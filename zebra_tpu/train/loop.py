@@ -414,6 +414,25 @@ class Trainer:
         only sets a flag."""
         self._stop_requested = True
 
+    @staticmethod
+    def _stopper_state(stopper) -> Dict:
+        """EarlyStopMonitor fields that ride in save_state (ONE definition —
+        fit's periodic and preemption checkpoints must stay in sync)."""
+        return {
+            "num_round": stopper.num_round,
+            "epoch_count": stopper.epoch_count,
+            "best_epoch": stopper.best_epoch,
+            "last_best": stopper.last_best,
+        }
+
+    @classmethod
+    def _seed_stopper_state(cls, stoppers, stopped, stop_epoch) -> Dict:
+        return {"per_seed": [
+            dict(cls._stopper_state(st),
+                 stopped=stopped[s], stop_epoch=stop_epoch[s])
+            for s, st in enumerate(stoppers)
+        ]}
+
     # ---------------------------------------------------------------- helpers
 
     def _to_dev(self, x):
@@ -829,9 +848,9 @@ class Trainer:
         stacked key layout."""
         key = jax.random.PRNGKey(1_000_003 + seed)
         if self._n_seeds > 1:
-            key = jnp.stack([key] * self._n_seeds)  # materialized: the phase
-            # program donates its rng argument, and a broadcast view would
-            # defeat the donation
+            # materialized stack (not broadcast_to): _fold_rng vmaps over
+            # axis 0 and typed-key batching rejects lazy broadcast views
+            key = jnp.stack([key] * self._n_seeds)
         return key
 
     # ---------------------------------------------------------------- epochs
@@ -1097,16 +1116,14 @@ class Trainer:
                         start_chunk=start_chunk if epoch == start_epoch else 0
                     )
             if self._stop_requested:
-                self._fit_state = {
-                    "num_round": stopper.num_round,
-                    "epoch_count": stopper.epoch_count,
-                    "best_epoch": stopper.best_epoch,
-                    "last_best": stopper.last_best,
-                }
-                done = self._chunk_cursor >= self._streams["train"].n_chunks
+                self._fit_state = self._stopper_state(stopper)
+                # train_epoch resets the cursor to 0 (and bumps _epoch_id)
+                # when the epoch ran to completion — a nonzero cursor is the
+                # only mid-epoch signal here
+                done = self._chunk_cursor == 0
                 self.save_state(
                     state_path, epoch=epoch + 1 if done else epoch,
-                    chunk=0 if done else self._chunk_cursor,
+                    chunk=self._chunk_cursor,
                 )
                 self._fit_state = None
                 logger.info(
@@ -1148,12 +1165,7 @@ class Trainer:
                 # periodic full-state checkpoint (epoch boundary: the next
                 # epoch restarts from zeroed memory/index by protocol, so
                 # params/optimizer/RNGs + the stopper are the whole state)
-                self._fit_state = {
-                    "num_round": stopper.num_round,
-                    "epoch_count": stopper.epoch_count,
-                    "best_epoch": stopper.best_epoch,
-                    "last_best": stopper.last_best,
-                }
+                self._fit_state = self._stopper_state(stopper)
                 self.save_state(state_path, epoch=epoch + 1, chunk=0)
                 self._fit_state = None
 
@@ -1246,21 +1258,15 @@ class Trainer:
                         start_chunk=start_chunk if epoch == start_epoch else 0
                     )
             if self._stop_requested:
-                self._fit_state = {"per_seed": [
-                    {
-                        "num_round": st.num_round,
-                        "epoch_count": st.epoch_count,
-                        "best_epoch": st.best_epoch,
-                        "last_best": st.last_best,
-                        "stopped": stopped[s],
-                        "stop_epoch": stop_epoch[s],
-                    }
-                    for s, st in enumerate(stoppers)
-                ]}
-                done = self._chunk_cursor >= self._streams["train"].n_chunks
+                self._fit_state = self._seed_stopper_state(
+                    stoppers, stopped, stop_epoch
+                )
+                # see fit(): cursor == 0 means train_epoch completed the
+                # epoch and already advanced _epoch_id
+                done = self._chunk_cursor == 0
                 self.save_state(
                     state_path, epoch=epoch + 1 if done else epoch,
-                    chunk=0 if done else self._chunk_cursor,
+                    chunk=self._chunk_cursor,
                 )
                 self._fit_state = None
                 bp, bm = snap_best()
@@ -1309,17 +1315,9 @@ class Trainer:
             if all(stopped):
                 break
             if cfg.state_every and (epoch + 1) % cfg.state_every == 0:
-                self._fit_state = {"per_seed": [
-                    {
-                        "num_round": st.num_round,
-                        "epoch_count": st.epoch_count,
-                        "best_epoch": st.best_epoch,
-                        "last_best": st.last_best,
-                        "stopped": stopped[s],
-                        "stop_epoch": stop_epoch[s],
-                    }
-                    for s, st in enumerate(stoppers)
-                ]}
+                self._fit_state = self._seed_stopper_state(
+                    stoppers, stopped, stop_epoch
+                )
                 self.save_state(state_path, epoch=epoch + 1, chunk=0)
                 self._fit_state = None
 

@@ -51,10 +51,14 @@ def enable(jax_module) -> "str | None":
     reproduced deterministically by the test suite's serve path), and CPU
     compiles are cheap enough not to need it. The cache exists for the
     tunneled-TPU deployment, where a cold compile of the fused phase
-    programs costs tens of seconds to minutes."""
-    if jax_module.default_backend() == "cpu":
+    programs costs tens of seconds to minutes.
+
+    ``JAX_COMPILATION_CACHE_DIR`` overrides everything, including the CPU
+    opt-out — an explicit directory is a deliberate choice."""
+    env = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if env is None and jax_module.default_backend() == "cpu":
         return None
-    path = cache_dir()
+    path = env or cache_dir()
     jax_module.config.update("jax_compilation_cache_dir", path)
     jax_module.config.update(
         "jax_persistent_cache_min_compile_time_secs", 1.0
