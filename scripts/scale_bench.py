@@ -24,13 +24,15 @@ def main():
     from zebra_tpu.data.synthetic import synthetic_stream
     from zebra_tpu.train.loop import Trainer
 
-    n_events, epochs = 1_470_000, 3
+    n_events, epochs, par = 1_470_000, 3, 1
     for arg in sys.argv[1:]:
         k, v = arg.split("=", 1)
         if k == "n_events":
             n_events = int(v)
         elif k == "epochs":
             epochs = int(v)
+        elif k == "parallel_runs":
+            par = int(v)
 
     t0 = time.time()
     data, edge_feats = synthetic_stream(
@@ -45,6 +47,7 @@ def main():
         data="wtscale", bs=200, node_dim=100, time_dim=100, memory_dim=100,
         topk=20, alpha_list=(0.1, 0.1), beta_list=(0.05, 0.95),
         tppr_strategy="streaming", checkpoint_dir="/tmp/zebra_scale_ckpt",
+        parallel_runs=par,
     )
     print(f"stream ready ({time.time() - t0:.0f}s); constructing trainer "
           f"(n_nodes={splits.n_nodes}, train={splits.train.n_interactions})",
@@ -57,7 +60,11 @@ def main():
         r = trainer.train_epoch()
         jax.block_until_ready(trainer.params)
         dt = time.time() - t1
-        print(f"epoch {dt:.2f}s  {n_train / dt:.0f} ev/s  ap={r.ap:.4f}",
+        import numpy as _np
+
+        ap = float(_np.asarray(r.ap).mean())
+        agg = f"  aggregate {par * n_train / dt:.0f} ev/s" if par > 1 else ""
+        print(f"epoch {dt:.2f}s  {n_train / dt:.0f} ev/s  ap={ap:.4f}{agg}",
               flush=True)
     t1 = time.time()
     trans, induct = trainer.validate()

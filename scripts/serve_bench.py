@@ -23,6 +23,12 @@ sys.path.insert(0, ".")
 def main():
     import jax
 
+    ens_n = 0
+    for arg in sys.argv[1:]:
+        k, v = arg.split("=", 1)
+        if k == "ensemble":
+            ens_n = int(v)
+
     from zebra_tpu.utils.compile_cache import enable as _enable_compile_cache
 
     _enable_compile_cache(jax)
@@ -47,10 +53,23 @@ def main():
         beta_list=(0.05, 0.95), tppr_strategy="streaming",
         checkpoint_dir="/tmp/zebra_serve_ckpt",
     )
-    trainer = Trainer(cfg, splits, edge_feats)
-    cfg = trainer.cfg  # runtime-filled (n_nodes/n_edges/edge_dim)
-    trainer.train_epoch()
-    server = LinkPredictor.from_trainer(trainer)
+    if ens_n > 1:
+        # ensemble serving arm (`ensemble=S`): S seeds trained in one
+        # seed-parallel pass, served as a deep ensemble — compare its
+        # score/observe cost against the single-model numbers above
+        from zebra_tpu.serve import EnsemblePredictor
+
+        cfg = cfg.replace(parallel_runs=ens_n)
+        trainer = Trainer(cfg, splits, edge_feats)
+        cfg = trainer.cfg
+        trainer.train_epoch()
+        server = EnsemblePredictor.from_trainer(trainer)
+        print(f"ensemble of {server.n_models} members", flush=True)
+    else:
+        trainer = Trainer(cfg, splits, edge_feats)
+        cfg = trainer.cfg  # runtime-filled (n_nodes/n_edges/edge_dim)
+        trainer.train_epoch()
+        server = LinkPredictor.from_trainer(trainer)
 
     rng = np.random.default_rng(0)
     t_now = float(data.timestamps.max()) + 1.0
@@ -77,7 +96,7 @@ def main():
         def sync():
             # observe() dispatches asynchronously; force completion by
             # reading back one scalar of the updated state
-            float(np.asarray(server.mem.last_update[:1])[0])
+            float(np.asarray(server.mem.last_update).ravel()[0])
 
         server.observe(src, dst, ts, eidx)  # compile
         sync()
