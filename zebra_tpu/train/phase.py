@@ -40,9 +40,12 @@ from zebra_tpu.train.step import (
     _masked_mean,
     _scores,
     _store_messages,
+    commit_pending_flat,
     eval_store_commit,
+    eval_store_commit_flat,
     make_lazy_plan,
     make_optimizer,
+    store_messages_flat,
 )
 
 
@@ -362,6 +365,155 @@ def _run_phase_seeds(
         [[0, 1, 2 + s] for s in range(n_seeds)], jnp.int32
     )
 
+    # Diffusion towers read memory ONLY through row gathers (nodes3 /
+    # q.nbr), so the seed axis can live in the ROW SPACE instead of a
+    # batched array axis: the tables are carried FLAT [S·N, ...] with seed
+    # s owning rows [s·N, (s+1)·N), the vmapped forward gathers at
+    # per-lane offset ids from the unbatched tables, and the memory
+    # protocol runs ONCE over the concatenated lanes
+    # (train/step.py:*_flat). Rationale: vmapped scatters and gathers
+    # disagree about a stacked [S, N, ...] table's layout and XLA
+    # relayouts the WHOLE table every batch — 2.5× at Wiki-Talk scale
+    # (NOTES.md round 4). The recursive/identity/time towers resolve
+    # adjacency by node id inside the forward, so they keep the stacked
+    # path (their state is model-sized, not node-table-bound).
+    flat = cfg.embedding_module == "diffusion"
+    if flat:
+        n_rows = mem.memory.shape[1]
+        offs = jnp.arange(n_seeds, dtype=jnp.int32) * n_rows
+        mem = jax.tree.map(
+            lambda x: x.reshape((n_seeds * n_rows,) + x.shape[2:]), mem
+        )
+
+    def batch_body_flat(carry, xs_item):
+        s, q_rows = xs_item
+        params, opt_state, memf, rng = carry
+        positives = jnp.concatenate([s.src, s.dst])
+        valid2 = jnp.concatenate([s.valid, s.valid])
+        times3 = jnp.concatenate([s.t, s.t, s.t])
+
+        def seed_fn(p, o, r, off, neg, rows3):
+            r, k_drop = jax.random.split(r)
+            if rows3 is not None:
+                q = unpack_queries(rows3, s.t, cfg.n_tppr, cfg.topk)
+                q = TpprQueries(*(
+                    x.transpose(1, 2, 0, 3).reshape(
+                        x.shape[1], 3 * b, x.shape[3]
+                    )
+                    for x in q
+                ))
+            else:
+                q = pruned_topk_impl(
+                    nbr_index,
+                    jnp.asarray(cfg.alpha_list, jnp.float32),
+                    jnp.asarray(cfg.beta_list, jnp.float32),
+                    jnp.concatenate([s.src, s.dst, neg]),
+                    jnp.concatenate([s.t, s.t, s.t]),
+                    cfg.n_degree, cfg.n_layer, cfg.topk,
+                )
+            # this lane's rows live at ids + off; empty top-k slots
+            # (nbr 0, w 0) land on the lane's own dummy row 0
+            q = q._replace(nbr=q.nbr + off)
+            nodes3 = jnp.concatenate([s.src, s.dst, neg]) + off
+
+            overflow = jnp.zeros(())
+            if train:
+                plan = make_lazy_plan(cfg, q, nodes3)
+                overflow = plan.overflow
+
+                def loss_fn(p_):
+                    emb = _forward(cfg, p_, memf, edge_feats, nodes3,
+                                   times3, q, nbr_index, k_drop,
+                                   train=True, plan=plan)
+                    pos_logit, neg_logit = _scores(cfg, p_, emb, b)
+                    bce_pos = optax.sigmoid_binary_cross_entropy(
+                        pos_logit, jnp.ones_like(pos_logit)
+                    )
+                    bce_neg = optax.sigmoid_binary_cross_entropy(
+                        neg_logit, jnp.zeros_like(neg_logit)
+                    )
+                    loss = (_masked_mean(bce_pos, s.valid)
+                            + _masked_mean(bce_neg, s.valid))
+                    aux = (jax.nn.sigmoid(pos_logit),
+                           jax.nn.sigmoid(neg_logit),
+                           emb[: 2 * b] if need_emb else None)
+                    return loss, aux
+
+                (loss, (pos_p, neg_p, emb2b)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(p)
+                updates, o = opt.update(grads, o, p)
+                p = optax.apply_updates(p, updates)
+                if need_emb:
+                    emb2b = jax.lax.stop_gradient(emb2b)
+            else:
+                loss = jnp.zeros(())
+                emb = _forward(cfg, p, memf, edge_feats, nodes3, times3,
+                               q, nbr_index, None, train=False)
+                pos_logit, neg_logit = _scores(cfg, p, emb, b)
+                pos_p = jax.nn.sigmoid(pos_logit)
+                neg_p = jax.nn.sigmoid(neg_logit)
+                emb2b = emb[: 2 * b] if need_emb else None
+
+            from zebra_tpu.ops.metrics import (
+                masked_ap,
+                masked_auc,
+                masked_rank_acc,
+            )
+
+            metrics = StepMetrics(
+                loss=loss,
+                ap=masked_ap(pos_p, neg_p, s.valid),
+                auc=masked_auc(pos_p, neg_p, s.valid),
+                acc=masked_rank_acc(pos_p, neg_p, s.valid),
+                overflow=overflow,
+            )
+            return (p, o, r), metrics, emb2b
+
+        if multi_neg:
+            negs_in, neg_ax = s.neg.T, 0                # [S, b]
+        else:
+            negs_in, neg_ax = s.neg, None               # shared eval draw
+        if q_rows is None:
+            q_in, q_ax = None, None
+        elif q_rows.shape[1] == 3 and not multi_neg:
+            q_in, q_ax = q_rows, None                   # shared eval rows
+        else:
+            q_in, q_ax = q_rows[:, block_of_seed].transpose(1, 0, 2, 3), 0
+
+        (params, opt_state, rng), metrics, emb2b = jax.vmap(
+            seed_fn, in_axes=(0, 0, 0, 0, neg_ax, q_ax)
+        )(params, opt_state, rng, offs, negs_in, q_in)
+        src_embs = dst_embs = None
+        if need_emb:
+            src_embs, dst_embs = emb2b[:, :b], emb2b[:, b:]
+        # memory protocol on the flat tables, all lanes in one pass;
+        # same per-lane order as the stacked path (train: commit with the
+        # POST-step params, then store from post-commit memory; eval:
+        # fused store+commit for 'last', store-then-commit for 'mean')
+        if train:
+            memf = commit_pending_flat(
+                cfg, params, memf, positives, valid2, offs
+            )
+            memf = store_messages_flat(
+                cfg, memf, edge_feats, s.src, s.dst, s.t, s.eidx,
+                s.valid, offs, src_embs, dst_embs,
+            )
+        elif cfg.aggregator == "last":
+            memf = eval_store_commit_flat(
+                cfg, params, memf, edge_feats, s.src, s.dst, s.t,
+                s.eidx, s.valid, offs, src_embs, dst_embs,
+            )
+        else:
+            memf = store_messages_flat(
+                cfg, memf, edge_feats, s.src, s.dst, s.t, s.eidx,
+                s.valid, offs, src_embs, dst_embs,
+            )
+            memf = commit_pending_flat(
+                cfg, params, memf, positives, valid2, offs
+            )
+        return (params, opt_state, memf, rng), metrics
+
     def batch_body(carry, xs_item):
         s, q_rows = xs_item
         params, opt_state, mem, rng = carry
@@ -486,8 +638,13 @@ def _run_phase_seeds(
         return (params, opt_state, mem, rng), metrics
 
     (params, opt_state, mem, _), metrics = jax.lax.scan(
-        batch_body, (params, opt_state, mem, rng), xs, unroll=2
+        batch_body_flat if flat else batch_body,
+        (params, opt_state, mem, rng), xs, unroll=2,
     )
+    if flat:
+        mem = jax.tree.map(
+            lambda x: x.reshape((n_seeds, n_rows) + x.shape[1:]), mem
+        )
     return params, opt_state, mem, metrics
 
 

@@ -527,3 +527,180 @@ def flush_pending_impl(cfg: Config, params: TgnParams, mem: MemoryState) -> Memo
 flush_pending_messages = functools.partial(
     jax.jit, static_argnames=("cfg",), donate_argnames=("mem",)
 )(flush_pending_impl)
+
+
+# ------------------------------------------------- seed-parallel flat tables
+#
+# The seed-parallel phase (train/phase.py:_run_phase_seeds) carries the node
+# tables FLAT — [S·N, ...] with seed s owning rows [s·N, (s+1)·N) — instead
+# of stacked [S, N, ...]: vmapped scatters and gathers on a stacked table
+# disagree about its layout ({2,0,1} vs {2,1,0}) and XLA relayouts the WHOLE
+# table every batch (3.3ms/batch at Wiki-Talk scale — NOTES.md round 4). On
+# the flat rank-2 tables there is one canonical layout; the vmapped forward
+# gathers with per-lane offset ids from the (unbatched) table, and the
+# memory-protocol scatters below run ONCE over the concatenated lanes. Each
+# helper is the flat re-statement of its namesake above — bit-identical per
+# lane (the last-per-sender winner mask is seed-independent and computed on
+# raw ids once).
+
+def _build_messages_flat(cfg, memf: MemoryState, edge_feats, src, dst, t,
+                         eidx, valid, offs, src_embs=None, dst_embs=None):
+    """:func:`_build_messages` over S lanes on the flat tables. Returns
+    (snd_flat [S·2b], t2 [2b], valid2 [2b], keep [2b], msg [S·2b, W-1]);
+    ``keep``/``valid2`` are shared across lanes (shared events)."""
+    S = offs.shape[0]
+    n = memf.memory.shape[0] // S
+    snd = jnp.concatenate([src, dst])
+    rcv = jnp.concatenate([dst, src])
+    t2 = jnp.concatenate([t, t])
+    e2 = jnp.concatenate([eidx, eidx])
+    valid2 = jnp.concatenate([valid, valid])
+    pos = jnp.arange(snd.shape[0], dtype=jnp.int32)
+    winner = (
+        jnp.full((n,), -1, jnp.int32)
+        .at[jnp.where(valid2, snd, n)]
+        .max(pos, mode="drop")
+    )
+    keep = valid2 & (winner[snd] == pos)
+
+    snd_flat = (snd[None, :] + offs[:, None]).reshape(-1)
+    rcv_flat = (rcv[None, :] + offs[:, None]).reshape(-1)
+    b2 = snd.shape[0]
+    if cfg.compact_messages:
+        parts = []
+    elif cfg.use_source_embedding_in_message:
+        parts = [jnp.concatenate([src_embs, dst_embs], axis=1)
+                 .reshape(S * b2, -1)]
+    else:
+        parts = [memf.memory[snd_flat]]
+    if cfg.use_destination_embedding_in_message:
+        rcv_part = (jnp.concatenate([dst_embs, src_embs], axis=1)
+                    .reshape(S * b2, -1))
+    else:
+        rcv_part = memf.memory[rcv_flat]
+    from zebra_tpu.models.time_encoding import time_basis, time_encode
+
+    basis = time_basis(cfg.time_dim)
+    e_safe = jnp.where(e2 < edge_feats.shape[0], e2, 0)
+    t2_tile = jnp.tile(t2, S)
+    msg = jnp.concatenate(
+        parts
+        + [
+            rcv_part,
+            jnp.tile(edge_feats[e_safe], (S, 1)),
+            time_encode(t2_tile - memf.last_update[snd_flat], basis),
+        ],
+        axis=-1,
+    )
+    return snd_flat, t2, valid2, keep, msg
+
+
+def commit_pending_flat(cfg, params, memf: MemoryState, positives, valid2,
+                        offs):
+    """:func:`_commit_pending` over S lanes on the flat tables; the
+    parameter-dependent cell math runs vmapped over the seed axis."""
+    S = offs.shape[0]
+    b2 = positives.shape[0]
+    nflat = memf.memory.shape[0]
+    pos_flat = (positives[None, :] + offs[:, None]).reshape(-1)
+    rows = memf.memory[pos_flat]
+    msg_rows = memf.messages[pos_flat]
+    flag = msg_rows[..., -1] != 0
+    raw = msg_rows[..., :-1]
+    if cfg.aggregator == "mean":
+        cnt = memf.msg_count[pos_flat]
+        raw = raw.astype(jnp.float32) / jnp.maximum(cnt, 1.0)[..., None]
+
+    def lane(p, raw_l, rows_l):
+        ci = message_cell_input(cfg, p, raw_l, rows_l)
+        return cell_apply(cfg, p, ci, rows_l)
+
+    upd = jax.vmap(lane)(
+        params, raw.reshape(S, b2, -1), rows.reshape(S, b2, -1)
+    ).reshape(S * b2, -1).astype(memf.memory.dtype)
+
+    valid_flat = jnp.tile(valid2, S)
+    flags = flag & valid_flat
+    idx = jnp.where(valid_flat, pos_flat, nflat)
+    return memf._replace(
+        memory=memf.memory.at[idx].set(
+            jnp.where(flags[:, None], upd, rows), mode="drop"
+        ),
+        last_update=memf.last_update.at[idx].set(
+            jnp.where(flags, memf.msg_ts[pos_flat],
+                      memf.last_update[pos_flat]),
+            mode="drop",
+        ),
+        messages=memf.messages.at[idx].set(0.0, mode="drop"),
+        msg_count=memf.msg_count.at[idx].set(0.0, mode="drop"),
+    )
+
+
+def store_messages_flat(cfg, memf: MemoryState, edge_feats, src, dst, t,
+                        eidx, valid, offs, src_embs=None, dst_embs=None):
+    """:func:`_store_messages` over S lanes on the flat tables (the store is
+    parameter-free)."""
+    S = offs.shape[0]
+    nflat = memf.memory.shape[0]
+    snd_flat, t2, valid2, keep, msg = _build_messages_flat(
+        cfg, memf, edge_feats, src, dst, t, eidx, valid, offs,
+        src_embs, dst_embs,
+    )
+    one = jnp.ones((msg.shape[0], 1), msg.dtype)
+    msg = jnp.concatenate([msg, one], axis=-1).astype(memf.messages.dtype)
+    t2_tile = jnp.tile(t2, S)
+    if cfg.aggregator == "mean":
+        valid_flat = jnp.tile(valid2, S)
+        idx_all = jnp.where(valid_flat, snd_flat, nflat)
+        return memf._replace(
+            messages=memf.messages.at[idx_all].add(
+                jnp.where(valid_flat[:, None], msg,
+                          jnp.zeros((), msg.dtype)),
+                mode="drop",
+            ),
+            msg_count=memf.msg_count.at[idx_all].add(
+                valid_flat.astype(jnp.float32), mode="drop"
+            ),
+            msg_ts=memf.msg_ts.at[idx_all].max(t2_tile, mode="drop"),
+        )
+    keep_flat = jnp.tile(keep, S)
+    idx = jnp.where(keep_flat, snd_flat, nflat)
+    return memf._replace(
+        messages=memf.messages.at[idx].set(msg, mode="drop"),
+        msg_ts=memf.msg_ts.at[idx].set(t2_tile, mode="drop"),
+        msg_count=memf.msg_count.at[idx].set(1.0, mode="drop"),
+    )
+
+
+def eval_store_commit_flat(cfg, params, memf: MemoryState, edge_feats, src,
+                           dst, t, eidx, valid, offs, src_embs=None,
+                           dst_embs=None):
+    """:func:`eval_store_commit` over S lanes on the flat tables."""
+    assert cfg.aggregator == "last"
+    S = offs.shape[0]
+    nflat = memf.memory.shape[0]
+    snd_flat, t2, valid2, keep, msg = _build_messages_flat(
+        cfg, memf, edge_feats, src, dst, t, eidx, valid, offs,
+        src_embs, dst_embs,
+    )
+    b2 = valid2.shape[0]
+    rows = memf.memory[snd_flat]
+    raw = msg.astype(memf.messages.dtype)
+
+    def lane(p, raw_l, rows_l):
+        ci = message_cell_input(cfg, p, raw_l, rows_l)
+        return cell_apply(cfg, p, ci, rows_l)
+
+    upd = jax.vmap(lane)(
+        params, raw.reshape(S, b2, -1), rows.reshape(S, b2, -1)
+    ).reshape(S * b2, -1).astype(memf.memory.dtype)
+    t2_tile = jnp.tile(t2, S)
+    idx_w = jnp.where(jnp.tile(keep, S), snd_flat, nflat)
+    idx_v = jnp.where(jnp.tile(valid2, S), snd_flat, nflat)
+    return memf._replace(
+        memory=memf.memory.at[idx_w].set(upd, mode="drop"),
+        last_update=memf.last_update.at[idx_w].set(t2_tile, mode="drop"),
+        messages=memf.messages.at[idx_v].set(0.0, mode="drop"),
+        msg_count=memf.msg_count.at[idx_v].set(0.0, mode="drop"),
+        msg_ts=memf.msg_ts.at[idx_w].set(t2_tile, mode="drop"),
+    )
