@@ -9,6 +9,8 @@ time. The RESULTS.md "Wiki-Talk-scale" row comes from here.
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, ".")
 
 
@@ -60,15 +62,15 @@ def main():
         r = trainer.train_epoch()
         jax.block_until_ready(trainer.params)
         dt = time.time() - t1
-        import numpy as _np
-
-        ap = float(_np.asarray(r.ap).mean())
+        ap = float(np.asarray(r.ap).mean())
         agg = f"  aggregate {par * n_train / dt:.0f} ev/s" if par > 1 else ""
         print(f"epoch {dt:.2f}s  {n_train / dt:.0f} ev/s  ap={ap:.4f}{agg}",
               flush=True)
     t1 = time.time()
     trans, induct = trainer.validate()
-    print(f"validate {time.time() - t1:.2f}s  ap={trans.ap:.4f}/{induct.ap:.4f}",
+    v_ap = float(np.asarray(trans.ap).mean())
+    nn_ap = float(np.asarray(induct.ap).mean())
+    print(f"validate {time.time() - t1:.2f}s  ap={v_ap:.4f}/{nn_ap:.4f}",
           flush=True)
 
 

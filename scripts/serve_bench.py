@@ -25,9 +25,13 @@ def main():
 
     ens_n = 0
     for arg in sys.argv[1:]:
+        if "=" not in arg:
+            raise SystemExit(f"usage: serve_bench.py [ensemble=S]  (got {arg!r})")
         k, v = arg.split("=", 1)
         if k == "ensemble":
             ens_n = int(v)
+        else:
+            raise SystemExit(f"unknown option {k!r} (only ensemble=S)")
 
     from zebra_tpu.utils.compile_cache import enable as _enable_compile_cache
 

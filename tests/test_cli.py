@@ -108,5 +108,6 @@ def test_cli_task_node(tmp_path, monkeypatch):
         "--task", "node", "--node_decoder_steps", "50",
     ])
     logs = list((tmp_path / "log" / "toy3").iterdir())
+    assert logs, "no log file produced"
     text = logs[0].read_text()
     assert "node classification auc" in text

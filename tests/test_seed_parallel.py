@@ -354,3 +354,74 @@ def test_parallel_lr_validation():
                       parallel_lr=(1e-3,))
     with pytest.raises(ValueError, match="parallel_lr"):
         _seed_trainer("/tmp/zebra_plr_bad", parallel_lr=(1e-3,))
+
+
+@pytest.mark.parametrize("variant", [
+    {"aggregator": "mean"},
+    {"use_source_embedding_in_message": True,
+     "use_destination_embedding_in_message": True,
+     "message_function": "mlp"},
+])
+def test_run_phase_seeds_flat_nondefault_protocols(variant):
+    """The flat-table protocol helpers' non-default branches — mean
+    aggregation (accumulate/divide), embedding-sourced message parts, and
+    the MLP message function — must match per-seed run_phase exactly, like
+    the default path (threefry: vmap-invariant dropout bits)."""
+    n_seeds = 2
+    trainer = _make_trainer("streaming", n_events=600,
+                            prng_impl="threefry2x32", **variant)
+    cfg = trainer.cfg
+    ps = trainer._streams["train"]
+    host = trainer._host_streams["train"]
+    stream, n_batches = ps.stream, ps.n_batches
+    e = stream.src.shape[0]
+    rng = np.random.RandomState(5)
+    negs = rng.randint(1, trainer.splits.n_nodes, (n_seeds, e)).astype(np.int32)
+    negs[:, ~host["valid"]] = 0
+    (params, opts, mems, rngs,
+     s_params, s_opt, s_mem, s_rng) = _stacked_inits(cfg, n_seeds)
+
+    flat, n_waves = wave_flat_index(
+        host["src"][host["valid"]], host["dst"][host["valid"]],
+        negs[:, host["valid"]], cfg.n_nodes, cap=cfg.wave_cap,
+    )
+    ff = np.full(e, n_waves * cfg.wave_cap, np.int32)
+    ff[host["valid"]] = flat
+    _, rows_m = wave_scan_chunk(
+        init_tppr_state(cfg.n_tppr, cfg.n_nodes, cfg.topk),
+        trainer._tppr_params, stream.src, stream.dst, jnp.asarray(negs.T),
+        stream.t, stream.eidx, stream.valid,
+        jnp.asarray(ff), n_waves, cfg.wave_cap,
+    )
+    mp, mo, mm, m_metrics = run_phase_seeds(
+        cfg, True, n_batches, _copy(s_params), _copy(s_opt), _copy(s_mem),
+        s_rng, trainer.edge_feats, (),
+        stream._replace(neg=jnp.asarray(negs.T)), rows_m,
+    )
+    for s in range(n_seeds):
+        flat_s, n_waves_s = wave_flat_index(
+            host["src"][host["valid"]], host["dst"][host["valid"]],
+            negs[s, host["valid"]], cfg.n_nodes, cap=cfg.wave_cap,
+        )
+        ffs = np.full(e, n_waves_s * cfg.wave_cap, np.int32)
+        ffs[host["valid"]] = flat_s
+        _, rows_s = wave_scan_chunk(
+            init_tppr_state(cfg.n_tppr, cfg.n_nodes, cfg.topk),
+            trainer._tppr_params, stream.src, stream.dst,
+            jnp.asarray(negs[s]), stream.t, stream.eidx, stream.valid,
+            jnp.asarray(ffs), n_waves_s, cfg.wave_cap,
+        )
+        _, _, sm_, _, s_metrics = run_phase(
+            cfg, True, n_batches, _copy(params[s]), _copy(opts[s]),
+            _copy(mems[s]), (), rngs[s], trainer.edge_feats, (),
+            stream._replace(neg=jnp.asarray(negs[s])), rows_s,
+        )
+        np.testing.assert_allclose(
+            np.asarray(m_metrics.loss[:, s]), np.asarray(s_metrics.loss),
+            rtol=1e-5, atol=1e-6, err_msg=f"loss seed {s} {variant}",
+        )
+        for la, lb in zip(jax.tree.leaves(mm), jax.tree.leaves(sm_)):
+            np.testing.assert_allclose(
+                np.asarray(la[s], np.float32), np.asarray(lb, np.float32),
+                rtol=0, atol=1e-2, err_msg=f"mem seed {s} {variant}",
+            )
