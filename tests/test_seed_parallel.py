@@ -425,3 +425,27 @@ def test_run_phase_seeds_flat_nondefault_protocols(variant):
                 np.asarray(la[s], np.float32), np.asarray(lb, np.float32),
                 rtol=0, atol=1e-2, err_msg=f"mem seed {s} {variant}",
             )
+
+
+def test_trainer_seed_parallel_pruning_strategy(tmp_path):
+    """The Trainer's non-wave seed-parallel branch (pruning strategy:
+    per-seed BFS queries inside the vmapped step, no index carry) matches
+    per-seed single Trainers through a train epoch + validation."""
+    kw = dict(
+        n_epoch=1, patience=5, prng_impl="threefry2x32",
+        memory_dtype="float32", tppr_strategy="pruning",
+    )
+    par = _seed_trainer(tmp_path / "par", parallel_runs=2, **kw)
+    tr = par.train_epoch()
+    trans, induct = par.validate()
+
+    for s in range(2):
+        single = _seed_trainer(tmp_path / f"s{s}", seed=par.cfg.seed + s, **kw)
+        tr_s = single.train_epoch()
+        trans_s, induct_s = single.validate()
+        np.testing.assert_allclose(float(tr.ap[s]), tr_s.ap, rtol=0,
+                                   atol=5e-3, err_msg=f"train ap seed {s}")
+        np.testing.assert_allclose(float(trans.ap[s]), trans_s.ap, rtol=0,
+                                   atol=5e-3, err_msg=f"val ap seed {s}")
+        np.testing.assert_allclose(float(induct.ap[s]), induct_s.ap, rtol=0,
+                                   atol=5e-3, err_msg=f"nn val ap seed {s}")
