@@ -290,6 +290,89 @@ def _run_phase_fused(
     return params, opt_state, mem, index_state, metrics
 
 
+def _lane_queries(cfg: Config, b: int, t_b, rows3, nbr_index, src, dst, neg):
+    """One lane's top-k queries: unpack precomputed wave-scan rows, run the
+    stateless pruning BFS, or None for the towers that query the graph
+    directly. Shared by both seed-parallel formulations."""
+    if cfg.embedding_module != "diffusion":
+        return None
+    if rows3 is not None:
+        q = unpack_queries(rows3, t_b, cfg.n_tppr, cfg.topk)
+        return TpprQueries(*(
+            x.transpose(1, 2, 0, 3).reshape(x.shape[1], 3 * b, x.shape[3])
+            for x in q
+        ))
+    return pruned_topk_impl(
+        nbr_index,
+        jnp.asarray(cfg.alpha_list, jnp.float32),
+        jnp.asarray(cfg.beta_list, jnp.float32),
+        jnp.concatenate([src, dst, neg]),
+        jnp.concatenate([t_b, t_b, t_b]),
+        cfg.n_degree, cfg.n_layer, cfg.topk,
+    )
+
+
+def _lane_step(cfg: Config, train: bool, b: int, opt, edge_feats, nbr_index,
+               need_emb: bool, p, o, mem_like, k_drop, q, nodes3, times3,
+               valid):
+    """One lane's forward (+ backward + optimizer) and metrics — the math
+    shared verbatim by the stacked and flat seed-parallel bodies; only the
+    memory protocol differs between them and stays with the caller.
+    ``mem_like`` is the lane's [N, ·] tables (stacked path) or the shared
+    flat [S·N, ·] tables with ``nodes3``/``q.nbr`` pre-offset (flat path).
+    Returns (params, opt_state, metrics, emb2b-or-None)."""
+    overflow = jnp.zeros(())
+    if train:
+        plan = (
+            make_lazy_plan(cfg, q, nodes3)
+            if cfg.embedding_module == "diffusion" else None
+        )
+        if plan is not None:
+            overflow = plan.overflow
+
+        def loss_fn(p_):
+            emb = _forward(cfg, p_, mem_like, edge_feats, nodes3, times3,
+                           q, nbr_index, k_drop, train=True, plan=plan)
+            pos_logit, neg_logit = _scores(cfg, p_, emb, b)
+            bce_pos = optax.sigmoid_binary_cross_entropy(
+                pos_logit, jnp.ones_like(pos_logit)
+            )
+            bce_neg = optax.sigmoid_binary_cross_entropy(
+                neg_logit, jnp.zeros_like(neg_logit)
+            )
+            loss = _masked_mean(bce_pos, valid) + _masked_mean(bce_neg, valid)
+            aux = (jax.nn.sigmoid(pos_logit), jax.nn.sigmoid(neg_logit),
+                   emb[: 2 * b] if need_emb else None)
+            return loss, aux
+
+        (loss, (pos_p, neg_p, emb2b)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(p)
+        updates, o = opt.update(grads, o, p)
+        p = optax.apply_updates(p, updates)
+        if need_emb:
+            emb2b = jax.lax.stop_gradient(emb2b)
+    else:
+        loss = jnp.zeros(())
+        emb = _forward(cfg, p, mem_like, edge_feats, nodes3, times3, q,
+                       nbr_index, None, train=False)
+        pos_logit, neg_logit = _scores(cfg, p, emb, b)
+        pos_p = jax.nn.sigmoid(pos_logit)
+        neg_p = jax.nn.sigmoid(neg_logit)
+        emb2b = emb[: 2 * b] if need_emb else None
+
+    from zebra_tpu.ops.metrics import masked_ap, masked_auc, masked_rank_acc
+
+    metrics = StepMetrics(
+        loss=loss,
+        ap=masked_ap(pos_p, neg_p, valid),
+        auc=masked_auc(pos_p, neg_p, valid),
+        acc=masked_rank_acc(pos_p, neg_p, valid),
+        overflow=overflow,
+    )
+    return p, o, metrics, emb2b
+
+
 def _run_phase_seeds(
     cfg: Config,
     train: bool,
@@ -394,79 +477,15 @@ def _run_phase_seeds(
 
         def seed_fn(p, o, r, off, neg, rows3):
             r, k_drop = jax.random.split(r)
-            if rows3 is not None:
-                q = unpack_queries(rows3, s.t, cfg.n_tppr, cfg.topk)
-                q = TpprQueries(*(
-                    x.transpose(1, 2, 0, 3).reshape(
-                        x.shape[1], 3 * b, x.shape[3]
-                    )
-                    for x in q
-                ))
-            else:
-                q = pruned_topk_impl(
-                    nbr_index,
-                    jnp.asarray(cfg.alpha_list, jnp.float32),
-                    jnp.asarray(cfg.beta_list, jnp.float32),
-                    jnp.concatenate([s.src, s.dst, neg]),
-                    jnp.concatenate([s.t, s.t, s.t]),
-                    cfg.n_degree, cfg.n_layer, cfg.topk,
-                )
+            q = _lane_queries(cfg, b, s.t, rows3, nbr_index,
+                              s.src, s.dst, neg)
             # this lane's rows live at ids + off; empty top-k slots
             # (nbr 0, w 0) land on the lane's own dummy row 0
             q = q._replace(nbr=q.nbr + off)
             nodes3 = jnp.concatenate([s.src, s.dst, neg]) + off
-
-            overflow = jnp.zeros(())
-            if train:
-                plan = make_lazy_plan(cfg, q, nodes3)
-                overflow = plan.overflow
-
-                def loss_fn(p_):
-                    emb = _forward(cfg, p_, memf, edge_feats, nodes3,
-                                   times3, q, nbr_index, k_drop,
-                                   train=True, plan=plan)
-                    pos_logit, neg_logit = _scores(cfg, p_, emb, b)
-                    bce_pos = optax.sigmoid_binary_cross_entropy(
-                        pos_logit, jnp.ones_like(pos_logit)
-                    )
-                    bce_neg = optax.sigmoid_binary_cross_entropy(
-                        neg_logit, jnp.zeros_like(neg_logit)
-                    )
-                    loss = (_masked_mean(bce_pos, s.valid)
-                            + _masked_mean(bce_neg, s.valid))
-                    aux = (jax.nn.sigmoid(pos_logit),
-                           jax.nn.sigmoid(neg_logit),
-                           emb[: 2 * b] if need_emb else None)
-                    return loss, aux
-
-                (loss, (pos_p, neg_p, emb2b)), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(p)
-                updates, o = opt.update(grads, o, p)
-                p = optax.apply_updates(p, updates)
-                if need_emb:
-                    emb2b = jax.lax.stop_gradient(emb2b)
-            else:
-                loss = jnp.zeros(())
-                emb = _forward(cfg, p, memf, edge_feats, nodes3, times3,
-                               q, nbr_index, None, train=False)
-                pos_logit, neg_logit = _scores(cfg, p, emb, b)
-                pos_p = jax.nn.sigmoid(pos_logit)
-                neg_p = jax.nn.sigmoid(neg_logit)
-                emb2b = emb[: 2 * b] if need_emb else None
-
-            from zebra_tpu.ops.metrics import (
-                masked_ap,
-                masked_auc,
-                masked_rank_acc,
-            )
-
-            metrics = StepMetrics(
-                loss=loss,
-                ap=masked_ap(pos_p, neg_p, s.valid),
-                auc=masked_auc(pos_p, neg_p, s.valid),
-                acc=masked_rank_acc(pos_p, neg_p, s.valid),
-                overflow=overflow,
+            p, o, metrics, emb2b = _lane_step(
+                cfg, train, b, opt, edge_feats, nbr_index, need_emb,
+                p, o, memf, k_drop, q, nodes3, times3, s.valid,
             )
             return (p, o, r), metrics, emb2b
 
@@ -520,105 +539,37 @@ def _run_phase_seeds(
 
         def seed_fn(p, o, m_, r, neg, rows3):
             r, k_drop = jax.random.split(r)
-            if cfg.embedding_module != "diffusion":
-                q = None
-            elif rows3 is not None:
-                q = unpack_queries(rows3, s.t, cfg.n_tppr, cfg.topk)
-                q = TpprQueries(*(
-                    x.transpose(1, 2, 0, 3).reshape(
-                        x.shape[1], 3 * b, x.shape[3]
-                    )
-                    for x in q
-                ))
-            else:
-                q = pruned_topk_impl(
-                    nbr_index,
-                    jnp.asarray(cfg.alpha_list, jnp.float32),
-                    jnp.asarray(cfg.beta_list, jnp.float32),
-                    jnp.concatenate([s.src, s.dst, neg]),
-                    jnp.concatenate([s.t, s.t, s.t]),
-                    cfg.n_degree, cfg.n_layer, cfg.topk,
-                )
+            q = _lane_queries(cfg, b, s.t, rows3, nbr_index,
+                              s.src, s.dst, neg)
             nodes3 = jnp.concatenate([s.src, s.dst, neg])
             times3 = jnp.concatenate([s.t, s.t, s.t])
             positives = jnp.concatenate([s.src, s.dst])
             valid2 = jnp.concatenate([s.valid, s.valid])
 
-            overflow = jnp.zeros(())
+            p, o, metrics, emb2b = _lane_step(
+                cfg, train, b, opt, edge_feats, nbr_index, need_emb,
+                p, o, m_, k_drop, q, nodes3, times3, s.valid,
+            )
+            src_emb = dst_emb = None
+            if need_emb:
+                src_emb, dst_emb = emb2b[:b], emb2b[b:]
             if train:
-                plan = (
-                    make_lazy_plan(cfg, q, nodes3)
-                    if cfg.embedding_module == "diffusion" else None
-                )
-                if plan is not None:
-                    overflow = plan.overflow
-
-                def loss_fn(p_, m__):
-                    emb = _forward(cfg, p_, m__, edge_feats, nodes3, times3,
-                                   q, nbr_index, k_drop, train=True, plan=plan)
-                    pos_logit, neg_logit = _scores(cfg, p_, emb, b)
-                    bce_pos = optax.sigmoid_binary_cross_entropy(
-                        pos_logit, jnp.ones_like(pos_logit)
-                    )
-                    bce_neg = optax.sigmoid_binary_cross_entropy(
-                        neg_logit, jnp.zeros_like(neg_logit)
-                    )
-                    loss = (_masked_mean(bce_pos, s.valid)
-                            + _masked_mean(bce_neg, s.valid))
-                    aux = (jax.nn.sigmoid(pos_logit),
-                           jax.nn.sigmoid(neg_logit),
-                           emb[: 2 * b] if need_emb else None)
-                    return loss, aux
-
-                (loss, (pos_p, neg_p, emb2b)), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(p, m_)
-                updates, o = opt.update(grads, o, p)
-                p = optax.apply_updates(p, updates)
-                src_emb = dst_emb = None
-                if need_emb:
-                    emb2b = jax.lax.stop_gradient(emb2b)
-                    src_emb, dst_emb = emb2b[:b], emb2b[b:]
                 m_ = _commit_pending(cfg, p, m_, positives, valid2)
                 m_ = _store_messages(
                     cfg, p, m_, edge_feats, s.src, s.dst, s.t, s.eidx,
                     s.valid, src_emb, dst_emb,
                 )
-            else:
-                loss = jnp.zeros(())
-                emb = _forward(cfg, p, m_, edge_feats, nodes3, times3, q,
-                               nbr_index, None, train=False)
-                pos_logit, neg_logit = _scores(cfg, p, emb, b)
-                pos_p = jax.nn.sigmoid(pos_logit)
-                neg_p = jax.nn.sigmoid(neg_logit)
-                src_emb, dst_emb = (
-                    (emb[:b], emb[b : 2 * b]) if need_emb else (None, None)
+            elif cfg.aggregator == "last":
+                m_ = eval_store_commit(
+                    cfg, p, m_, edge_feats, s.src, s.dst, s.t,
+                    s.eidx, s.valid, src_emb, dst_emb,
                 )
-                if cfg.aggregator == "last":
-                    m_ = eval_store_commit(
-                        cfg, p, m_, edge_feats, s.src, s.dst, s.t,
-                        s.eidx, s.valid, src_emb, dst_emb,
-                    )
-                else:
-                    m_ = _store_messages(
-                        cfg, p, m_, edge_feats, s.src, s.dst, s.t, s.eidx,
-                        s.valid, src_emb, dst_emb,
-                    )
-                    m_ = _commit_pending(cfg, p, m_, positives, valid2)
-
-            from zebra_tpu.ops.metrics import (
-                masked_ap,
-                masked_auc,
-                masked_rank_acc,
-            )
-
-            metrics = StepMetrics(
-                loss=loss,
-                ap=masked_ap(pos_p, neg_p, s.valid),
-                auc=masked_auc(pos_p, neg_p, s.valid),
-                acc=masked_rank_acc(pos_p, neg_p, s.valid),
-                overflow=overflow,
-            )
+            else:
+                m_ = _store_messages(
+                    cfg, p, m_, edge_feats, s.src, s.dst, s.t, s.eidx,
+                    s.valid, src_emb, dst_emb,
+                )
+                m_ = _commit_pending(cfg, p, m_, positives, valid2)
             return (p, o, m_, r), metrics
 
         if multi_neg:
