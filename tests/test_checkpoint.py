@@ -123,6 +123,58 @@ def test_fit_resume_from_state(tmp_path):
         )
 
 
+def test_restore_rejects_incompatible_config(tmp_path):
+    """Restoring a checkpoint written under different state-shaping fields
+    (topk / dims / n_nodes / strategy / dtypes / α-β) fails with a named
+    field-level diff, not a deep XLA shape error. topk especially: two index
+    states with different k can have EQUAL row counts and would otherwise
+    silently restore at the wrong packed layout."""
+    import pytest
+
+    path = str(tmp_path / "compat.ckpt")
+    t1 = _make_trainer("streaming", topk=5)
+    t1.train_epoch()
+    t1.save_state(path, epoch=1)
+
+    for kw, field in [
+        (dict(topk=4), "topk"),
+        (dict(memory_dim=32, node_dim=32), "memory_dim"),
+        (dict(alpha_list=(0.2,), beta_list=(0.9,)), "alpha_list"),
+        (dict(tppr_strategy="pruning"), "tppr_strategy"),
+        (dict(memory_dtype="float32"), "memory_dtype"),
+        (dict(parallel_runs=2), "parallel_runs"),
+    ]:
+        t2 = _make_trainer("streaming", **{"topk": 5, **kw})
+        with pytest.raises(ValueError, match=field):
+            t2.restore_state(path)
+
+    # the matching config still restores
+    t3 = _make_trainer("streaming", topk=5)
+    assert t3.restore_state(path) == (1, 0)
+
+
+def test_state_compat_diff_fields():
+    from zebra_tpu.config import Config
+
+    a = Config(topk=5, alpha_list=(0.1,), beta_list=(0.9,))
+    assert Config.state_compat_diff(a, a) == []
+    # list vs tuple α/β is not a mismatch
+    b = a.replace(alpha_list=[0.1], beta_list=[0.9])
+    assert Config.state_compat_diff(a, b) == []
+    # run-shaping-only fields (lr, bs, epochs, patience) never block restore
+    c = a.replace(lr=1e-2, bs=17, n_epoch=3, patience=1, index_chunk=1024)
+    assert Config.state_compat_diff(a, c) == []
+    # parallel_lr presence changes the optimizer pytree structure
+    d = a.replace(parallel_runs=2, parallel_lr=(1e-3, 1e-4))
+    e = a.replace(parallel_runs=2)
+    diff = Config.state_compat_diff(d, e)
+    assert len(diff) == 1 and "parallel_lr" in diff[0]
+    # configs from old pickles (missing fields) upgrade before diffing
+    old = Config(topk=5, alpha_list=(0.1,), beta_list=(0.9,))
+    object.__delattr__(old, "real_edge_feats")
+    assert Config.state_compat_diff(old, a) == []
+
+
 def test_config_upgrade_fills_missing_fields():
     """Configs unpickled from older checkpoints lack fields added since; the
     upgrade path must fill defaults and restore hashability (static-jit-arg

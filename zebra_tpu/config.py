@@ -287,6 +287,58 @@ class Config:
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
 
+    # Fields that determine the shapes / dtypes / layout / semantics of a
+    # ``save_state`` checkpoint. ``state_compat_diff`` compares them so a
+    # restore across an incompatible config change fails with a one-line
+    # field diff instead of a deep XLA shape error — or worse: two index
+    # states with different ``topk`` but equal row counts would restore
+    # without any shape error and silently be read at the wrong packed
+    # layout (index/streaming.py rows are [M(4k+1)]-packed by k).
+    STATE_FIELDS = (
+        # table extents
+        "n_nodes", "n_edges", "edge_dim",
+        # parameter shapes
+        "node_dim", "time_dim", "memory_dim", "n_head",
+        "embedding_module", "memory_updater", "message_function",
+        "aggregator",
+        # index layout + accumulation semantics (the stored index was built
+        # under these α/β; values, not just lengths, must match)
+        "topk", "alpha_list", "beta_list", "tppr_strategy",
+        # pending-message table width (message_dim / compact_messages)
+        "use_source_embedding_in_message",
+        "use_destination_embedding_in_message",
+        # storage dtypes + RNG key shape
+        "message_dtype", "memory_dtype", "prng_impl",
+        # stacked seed axis
+        "parallel_runs",
+    )
+
+    @classmethod
+    def state_compat_diff(cls, saved: "Config", live: "Config") -> List[str]:
+        """Field-level diff of the state-shaping fields between a
+        checkpoint's stored config and the live one; empty = compatible.
+        Callers (Trainer.restore_state) raise with the returned lines."""
+        saved = cls.upgrade(saved)  # old pickles may predate some fields
+        diffs = []
+        for name in cls.STATE_FIELDS:
+            sv, lv = getattr(saved, name), getattr(live, name)
+            if name == "parallel_runs":
+                sv, lv = max(1, int(sv)), max(1, int(lv))
+            elif name in ("alpha_list", "beta_list"):
+                sv, lv = tuple(sv), tuple(lv)
+            if sv != lv:
+                diffs.append(f"{name}: checkpoint={sv!r} vs live={lv!r}")
+        # inject_hyperparams wraps the optimizer state in an extra node:
+        # the pytree STRUCTURE differs, not just values
+        if (saved.parallel_lr is None) != (live.parallel_lr is None):
+            diffs.append(
+                f"parallel_lr: checkpoint "
+                f"{'set' if saved.parallel_lr is not None else 'unset'} vs "
+                f"live {'set' if live.parallel_lr is not None else 'unset'} "
+                f"(per-seed lr rides the optimizer state pytree)"
+            )
+        return diffs
+
     @classmethod
     def upgrade(cls, cfg: "Config") -> "Config":
         """Rebuild a Config unpickled from an older checkpoint. Pickle

@@ -1025,16 +1025,20 @@ class Trainer:
         trained epoch."""
         ckpt = load_checkpoint(path)
         saved_cfg = ckpt.get("cfg")
-        if saved_cfg is not None and (
-            max(1, int(saved_cfg.parallel_runs)) != self._n_seeds
-        ):
-            raise ValueError(
-                f"checkpoint was written with parallel_runs="
-                f"{saved_cfg.parallel_runs}, this Trainer has "
-                f"parallel_runs={self.cfg.parallel_runs} — the stacked "
-                f"state shapes are incompatible (serve a single seed via "
-                f"LinkPredictor.from_checkpoint(run_index=...))"
-            )
+        if saved_cfg is not None:
+            diffs = Config.state_compat_diff(saved_cfg, self.cfg)
+            if diffs:
+                hint = ""
+                if any(d.startswith("parallel_runs:") for d in diffs):
+                    hint = (
+                        " (to serve one seed of a seed-parallel checkpoint "
+                        "use LinkPredictor.from_checkpoint(run_index=...))"
+                    )
+                raise ValueError(
+                    "checkpoint config is incompatible with this Trainer — "
+                    "restoring would mis-shape or silently mis-read the "
+                    "state:\n  " + "\n  ".join(diffs) + hint
+                )
         as_dev = lambda t: jax.tree.map(self._to_dev, t)
         self.params = as_dev(ckpt["params"])
         self.opt_state = as_dev(ckpt["opt_state"])
