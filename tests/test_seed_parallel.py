@@ -427,6 +427,157 @@ def test_run_phase_seeds_flat_nondefault_protocols(variant):
             )
 
 
+def test_run_phase_seeds_sharded_matches_unsharded():
+    """run_phase_seeds(mesh=...) — the seed-SHARDED phase (whole seeds per
+    device via shard_map over the flat tables) — must reproduce the
+    single-device seed-parallel phase exactly: the per-lane math is
+    identical, only placed on different devices (no cross-seed reductions
+    exist to re-associate)."""
+    from zebra_tpu.parallel import make_mesh
+
+    n_seeds = 4
+    trainer = _make_trainer("streaming", n_events=600,
+                            prng_impl="threefry2x32")
+    cfg = trainer.cfg
+    ps = trainer._streams["train"]
+    host = trainer._host_streams["train"]
+    stream, n_batches = ps.stream, ps.n_batches
+    e = stream.src.shape[0]
+    rng = np.random.RandomState(7)
+    negs = rng.randint(1, trainer.splits.n_nodes, (n_seeds, e)).astype(np.int32)
+    negs[:, ~host["valid"]] = 0
+    (_, _, _, _, s_params, s_opt, s_mem, s_rng) = _stacked_inits(cfg, n_seeds)
+
+    flat, n_waves = wave_flat_index(
+        host["src"][host["valid"]], host["dst"][host["valid"]],
+        negs[:, host["valid"]], cfg.n_nodes, cap=cfg.wave_cap,
+    )
+    ff = np.full(e, n_waves * cfg.wave_cap, np.int32)
+    ff[host["valid"]] = flat
+    _, rows_m = wave_scan_chunk(
+        init_tppr_state(cfg.n_tppr, cfg.n_nodes, cfg.topk),
+        trainer._tppr_params, stream.src, stream.dst, jnp.asarray(negs.T),
+        stream.t, stream.eidx, stream.valid,
+        jnp.asarray(ff), n_waves, cfg.wave_cap,
+    )
+    args = (cfg, True, n_batches)
+    tail = (trainer.edge_feats, (),
+            stream._replace(neg=jnp.asarray(negs.T)), rows_m)
+    up, uo, um, u_metrics = run_phase_seeds(
+        *args, _copy(s_params), _copy(s_opt), _copy(s_mem), s_rng, *tail,
+    )
+    mesh = make_mesh(2)
+    sp, so, sm, s_metrics = run_phase_seeds(
+        *args, _copy(s_params), _copy(s_opt), _copy(s_mem), s_rng, *tail,
+        mesh=mesh,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_metrics.loss), np.asarray(u_metrics.loss),
+        rtol=1e-6, atol=1e-7,
+    )
+    for la, lb in zip(jax.tree.leaves(sp), jax.tree.leaves(up)):
+        np.testing.assert_allclose(
+            np.asarray(la, np.float32), np.asarray(lb, np.float32),
+            rtol=1e-6, atol=1e-6, err_msg="params",
+        )
+    for la, lb in zip(jax.tree.leaves(sm), jax.tree.leaves(um)):
+        np.testing.assert_allclose(
+            np.asarray(la, np.float32), np.asarray(lb, np.float32),
+            rtol=1e-6, atol=1e-5, err_msg="mem",
+        )
+
+
+def test_trainer_seed_sharded_fit_matches_sequential(tmp_path):
+    """The VERDICT-7 stage-6 criterion: Trainer(parallel_runs=4,
+    n_devices=2).fit() — 4 seeds sharded 2 per device — reproduces, per
+    seed, what 4 sequential single-seed Trainers produce (threefry dropout,
+    f32 memory; same tolerance story as the single-device variant)."""
+    kw = dict(
+        n_epoch=2, patience=5, prng_impl="threefry2x32",
+        memory_dtype="float32", save_best=True,
+    )
+    par = _seed_trainer(tmp_path / "par", parallel_runs=4, n_devices=2, **kw)
+    assert par._mesh is not None and par._mesh.devices.size == 2
+    out = par.fit()
+    for s in range(4):
+        single = _seed_trainer(tmp_path / f"s{s}", seed=par.cfg.seed + s,
+                               **kw)
+        out_s = single.fit()
+        for k in ("test_ap", "nn_test_ap"):
+            np.testing.assert_allclose(
+                out["per_seed"][k][s], out_s[k], rtol=0, atol=5e-3,
+                err_msg=f"{k} seed {s}",
+            )
+        assert out["per_seed"]["stop_epoch"][s] == out_s["stop_epoch"]
+
+
+@pytest.mark.parametrize("kw", [
+    {"tppr_strategy": "pruning"},        # per-lane BFS queries, q_rows=None
+    {"embedding_module": "time"},        # q=None entirely (mem_off path)
+])
+def test_trainer_seed_sharded_nonwave_branch(tmp_path, kw):
+    """The non-wave seed-parallel branch (queries=None: pruning BFS per lane
+    / towers with in-forward memory offsets) under the seed-sharded mesh
+    matches the single-device seed-parallel trainer."""
+    base = dict(n_epoch=1, patience=5, prng_impl="threefry2x32",
+                memory_dtype="float32", parallel_runs=2, **kw)
+    mesh_tr = _seed_trainer(tmp_path / "mesh", n_devices=2, **base)
+    single = _seed_trainer(tmp_path / "one", **base)
+    r_m = mesh_tr.train_epoch()
+    r_s = single.train_epoch()
+    np.testing.assert_allclose(np.asarray(r_m.ap), np.asarray(r_s.ap),
+                               rtol=0, atol=5e-3, err_msg=str(kw))
+    tm, im = mesh_tr.validate()
+    ts, is_ = single.validate()
+    np.testing.assert_allclose(np.asarray(tm.ap), np.asarray(ts.ap),
+                               rtol=0, atol=5e-3, err_msg=str(kw))
+    np.testing.assert_allclose(np.asarray(im.ap), np.asarray(is_.ap),
+                               rtol=0, atol=5e-3, err_msg=str(kw))
+
+
+def test_trainer_seed_sharded_mesh_validation():
+    with pytest.raises(ValueError, match="multiple of the mesh size"):
+        _seed_trainer("/tmp/zebra_mesh_bad", parallel_runs=3, n_devices=2)
+
+
+@pytest.mark.parametrize(
+    "module", ["graph_attention", "graph_sum", "time", "identity"]
+)
+def test_trainer_seed_parallel_towers(tmp_path, module):
+    """Seed-parallel flat tables for the recursive/time/identity towers:
+    their forwards resolve ADJACENCY by raw node id while the memory gathers
+    ride per-lane offsets into the flat [S·N, ·] tables
+    (models/embedding.py:_offset) — each lane must match the single-seed
+    Trainer exactly (threefry: vmap-invariant dropout bits)."""
+    kw = dict(
+        n_epoch=1, patience=5, prng_impl="threefry2x32",
+        memory_dtype="float32", embedding_module=module,
+    )
+    par = _seed_trainer(tmp_path / "par", parallel_runs=2, **kw)
+    tr = par.train_epoch()
+    trans, induct = par.validate()
+
+    for s in range(2):
+        single = _seed_trainer(tmp_path / f"s{s}", seed=par.cfg.seed + s, **kw)
+        tr_s = single.train_epoch()
+        trans_s, induct_s = single.validate()
+        np.testing.assert_allclose(float(tr.ap[s]), tr_s.ap, rtol=0,
+                                   atol=5e-3,
+                                   err_msg=f"train ap seed {s} {module}")
+        np.testing.assert_allclose(float(trans.ap[s]), trans_s.ap, rtol=0,
+                                   atol=5e-3,
+                                   err_msg=f"val ap seed {s} {module}")
+        np.testing.assert_allclose(float(induct.ap[s]), induct_s.ap, rtol=0,
+                                   atol=5e-3,
+                                   err_msg=f"nn val ap seed {s} {module}")
+        for la, lb in zip(jax.tree.leaves(par.params),
+                          jax.tree.leaves(single.params)):
+            np.testing.assert_allclose(
+                np.asarray(la[s], np.float32), np.asarray(lb, np.float32),
+                rtol=0, atol=1e-3, err_msg=f"params seed {s} {module}",
+            )
+
+
 def test_trainer_seed_parallel_pruning_strategy(tmp_path):
     """The Trainer's non-wave seed-parallel branch (pruning strategy:
     per-seed BFS queries inside the vmapped step, no index carry) matches

@@ -56,6 +56,14 @@ def _lazy_rows(cfg: Config, params, mem, ids, train: bool, enable=None):
     return jnp.where(gate[..., None], upd, rows)
 
 
+def _offset(ids, mem_off):
+    """Memory-row ids for node ids: the seed-parallel flat tables carry seed
+    s's rows at [s·N, (s+1)·N) (train/step.py flat-table note), so memory
+    gathers add the lane's offset while ADJACENCY lookups keep the raw node
+    ids — the index is shared across seeds. None = single-run tables."""
+    return ids if mem_off is None else ids + mem_off
+
+
 def recursive_embed(
     cfg: Config,
     params,
@@ -65,6 +73,7 @@ def recursive_embed(
     nodes: jnp.ndarray,   # i32 [Q]
     times: jnp.ndarray,   # f32 [Q]
     train: bool,
+    mem_off=None,         # i32 [] seed-lane row offset into flat tables
 ) -> jnp.ndarray:
     """graph_attention / graph_sum recursion over most-recent neighbors."""
     basis = time_basis(cfg.time_dim)
@@ -72,7 +81,7 @@ def recursive_embed(
     variant = cfg.embedding_module
 
     def level(nodes, times, layer):
-        feats = _lazy_rows(cfg, params, mem, nodes, train)
+        feats = _lazy_rows(cfg, params, mem, _offset(nodes, mem_off), train)
         if layer == 0:
             return feats
         q = nodes.shape[0]
@@ -102,13 +111,16 @@ def recursive_embed(
     return level(nodes, times, cfg.n_layer)
 
 
-def time_embed(cfg: Config, params, mem, nodes, times, train: bool):
+def time_embed(cfg: Config, params, mem, nodes, times, train: bool,
+               mem_off=None):
     """JODIE time-projection embedding (reference embedding_module.py:36-57)."""
-    rows = _lazy_rows(cfg, params, mem, nodes, train)
-    dt = times - mem.last_update[nodes]
+    ids = _offset(nodes, mem_off)
+    rows = _lazy_rows(cfg, params, mem, ids, train)
+    dt = times - mem.last_update[ids]
     p = params["time_proj"]
     return rows * (1.0 + dt[:, None] * p["w"][0][None, :] + p["b"][None, :])
 
 
-def identity_embed(cfg: Config, params, mem, nodes, train: bool):
-    return _lazy_rows(cfg, params, mem, nodes, train)
+def identity_embed(cfg: Config, params, mem, nodes, train: bool,
+                   mem_off=None):
+    return _lazy_rows(cfg, params, mem, _offset(nodes, mem_off), train)

@@ -58,3 +58,48 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
 def shard_queries(queries, mesh: Mesh, axis: str = "data"):
     """Shard query tensors [C, M, 3, k] over the event axis."""
     return _put(queries, mesh, P(axis, None, None, None))
+
+
+def interleave_permutation(n_nodes: int, n_shards: int):
+    """Round-robin node-id relabeling for owner-aligned sharding:
+    ``new_id = perm[old_id]`` sends consecutive old ids to consecutive
+    SHARDS (old id i → shard i % n_shards, contiguous-row owner layout
+    owner(v) = v // (n_nodes/n_shards), matching native/ingest.cc
+    zt_wave_schedule_aligned). Rationale: JODIE-style bipartite numbering
+    puts every user (= every src) in one contiguous block, so at
+    n_shards=2 the aligned scheduler packs EVERY edge into shard 0's lane
+    block — 2.00× wave inflation (docs/SCALING.md study); interleaving
+    spreads the src set uniformly over the shards' blocks.
+
+    A bijection on [0, n_nodes) with 0 (the padding id) as a fixed point;
+    inverse: ``inv[j] = (j % rows) * n_shards + j // rows``. Deterministic
+    in (n_nodes, n_shards), so checkpoints only need to record the shard
+    count (``Config.interleave_shards``) for serving to reconstruct it."""
+    import numpy as np
+
+    if n_nodes % n_shards:
+        raise ValueError(
+            f"n_nodes ({n_nodes}) must be a multiple of n_shards "
+            f"({n_shards}) — the Trainer pads N to a multiple of 128"
+        )
+    i = np.arange(n_nodes, dtype=np.int64)
+    rows = n_nodes // n_shards
+    return ((i % n_shards) * rows + i // n_shards).astype(np.int32)
+
+
+def shard_seed_trees(tree: Any, mesh: Mesh, axis: str = "data"):
+    """Shard seed-stacked state (leading [S] axis on every leaf: params,
+    optimizer, memory, RNG keys) over the mesh — whole seeds per device, the
+    layout the seed-sharded phase expects (train/phase.py:
+    _run_phase_seeds_sharded). Distinct from :func:`shard_memory`: the
+    single-seed mesh splits node ROWS; the seed mesh splits SEEDS and keeps
+    each seed's rows device-local."""
+    return _put(tree, mesh, P(axis))
+
+
+def replicate(tree: Any, mesh: Mesh):
+    """Replicate a tree across the mesh (shared index/adjacency state under
+    seed sharding)."""
+    if tree is None or tree == ():
+        return tree
+    return _put(tree, mesh, P())

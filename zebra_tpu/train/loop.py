@@ -167,17 +167,60 @@ class Trainer:
             and len(set(d.process_index for d in self._mesh.devices.flat)) > 1
         )
 
+        # node-id interleaving for owner-aligned sharding: relabel ids
+        # round-robin across the mesh's shards so the aligned scheduler's
+        # lane blocks stay balanced under bipartite (JODIE) numbering,
+        # which otherwise lands EVERY src in shard 0 (2.00× wave inflation
+        # at 2 shards — docs/SCALING.md study; no reference analogue, its
+        # preprocess numbering at preprocess_data.py:37-61 CAUSES the
+        # skew). Auto: on iff owner-aligned scheduling is active on a
+        # >1-shard mesh. The permutation is deterministic in
+        # (n_nodes, n_shards); cfg.interleave_shards rides in checkpoints
+        # so serving maps external ids the same way (serve.py).
+        n_shards_mesh = self._mesh.devices.size if self._mesh is not None else 1
+        use_il = cfg.interleave_node_ids
+        if use_il is None:
+            use_il = n_shards_mesh > 1 and resolve_owner_aligned(cfg)
+        self._id_perm = None
+        # negative SAMPLERS stay in original id space: RandEdgeSampler draws
+        # indices into the SORTED unique-node array (reference util.py:74),
+        # and relabeling changes that sort order — samplers built on the
+        # permuted stream would pick different nodes per draw and break the
+        # permuted ≡ unpermuted equivalence. Draws map through the
+        # permutation afterwards (_neg_ids), making draw i exactly
+        # perm[unpermuted draw i].
+        sampler_splits = splits
+        if use_il and n_shards_mesh > 1:
+            from zebra_tpu.parallel import interleave_permutation
+
+            self._id_perm = interleave_permutation(cfg.n_nodes, n_shards_mesh)
+            cfg = cfg.replace(interleave_shards=n_shards_mesh)
+            splits = _permute_splits(splits, self._id_perm)
+            self.cfg, self.splits = cfg, splits
+            logger.info(
+                "node ids interleaved over %d shards for owner-aligned "
+                "scheduling (--no_interleave_node_ids to disable)",
+                n_shards_mesh,
+            )
+
         # seed-parallel training: S independent runs (cfg.seed + s) advance
         # together, vmapped over a leading seed axis (run_phase_seeds); ONE
         # index scan serves all seeds (negatives are extraction-only)
         self._n_seeds = max(1, int(cfg.parallel_runs))
         if self._n_seeds > 1:
             if self._mesh is not None:
-                raise ValueError(
-                    "parallel_runs > 1 with a device mesh is not supported: "
-                    "the node tables would need a (seed, row) sharding — "
-                    "run seed-parallel single-device or shard single-seed"
-                )
+                # seed-sharded execution: whole seeds per device over the
+                # flat [S·N, ·] tables (train/phase.py:
+                # _run_phase_seeds_sharded) — embarrassingly parallel, no
+                # collectives inside the train scan; the shared index/
+                # adjacency state replicates
+                n_dev = self._mesh.devices.size
+                if self._n_seeds % n_dev:
+                    raise ValueError(
+                        f"parallel_runs ({self._n_seeds}) must be a "
+                        f"multiple of the mesh size ({n_dev}): the seed "
+                        f"axis shards whole seeds per device"
+                    )
             if cfg.fused_dispatch:
                 raise ValueError(
                     "parallel_runs > 1 does not support --fused_dispatch "
@@ -199,15 +242,17 @@ class Trainer:
         self.edge_feats = self._to_dev(np.asarray(edge_feats, np.float32))
 
         # samplers (reference train.py:140-144; inductive val reuses the val
-        # sampler, train.py:266)
-        tr, fu = splits.train, splits.full
+        # sampler, train.py:266) — built from the ORIGINAL-id splits; draws
+        # map through the interleave permutation at use (_neg_ids above)
+        tr, fu = sampler_splits.train, sampler_splits.full
         self.train_sampler = RandEdgeSampler(tr.sources, tr.destinations)
         self.val_sampler = RandEdgeSampler(fu.sources, fu.destinations,
                                            seed=SEED_VAL)
         self.test_sampler = RandEdgeSampler(fu.sources, fu.destinations,
                                             seed=SEED_TEST)
         self.nn_test_sampler = RandEdgeSampler(
-            splits.new_node_test.sources, splits.new_node_test.destinations,
+            sampler_splits.new_node_test.sources,
+            sampler_splits.new_node_test.destinations,
             seed=SEED_NN_TEST,
         )
 
@@ -454,11 +499,24 @@ class Trainer:
         if self._mesh is None:
             return
         from zebra_tpu.parallel import (
+            replicate,
             shard_index_state,
             shard_memory,
             shard_params,
+            shard_seed_trees,
         )
 
+        if self._n_seeds > 1:
+            # seed-sharded: per-seed state splits on the leading [S] axis
+            # (whole seeds per device); the index is seed-independent and
+            # replicates (each device runs the wave scan redundantly —
+            # collective-free)
+            self.params = shard_seed_trees(self.params, self._mesh)
+            self.opt_state = shard_seed_trees(self.opt_state, self._mesh)
+            self.mem = shard_seed_trees(self.mem, self._mesh)
+            self.rng = shard_seed_trees(self.rng, self._mesh)
+            self.index_state = replicate(self.index_state, self._mesh)
+            return
         self.params = shard_params(self.params, self._mesh)
         self.opt_state = shard_params(self.opt_state, self._mesh)
         self.mem = shard_memory(self.mem, self._mesh)
@@ -494,6 +552,14 @@ class Trainer:
         if self._n_seeds == 1:
             return jax.random.fold_in(rng, ci)
         return jax.vmap(lambda k: jax.random.fold_in(k, ci))(rng)
+
+    def _neg_ids(self, negs: np.ndarray) -> np.ndarray:
+        """Sampler draws (original id space) → internal row ids (the
+        interleave permutation when active — see the sampler note in
+        __init__)."""
+        if self._id_perm is None:
+            return negs
+        return self._id_perm[negs]
 
     def _negs_to_dev(self, negs: np.ndarray):
         """Upload train negatives: [E] as-is; seed-parallel [S, E] uploads in
@@ -542,7 +608,7 @@ class Trainer:
 
         if sampler is not None and n > 0:
             # exact reference draw order (evaluation.py:10,30-31)
-            negs = sampler.sample_eval_negatives(n, bs)
+            negs = self._neg_ids(sampler.sample_eval_negatives(n, bs))
         else:
             negs = np.zeros(n, np.int64)
 
@@ -580,6 +646,7 @@ class Trainer:
                 (int(base) + 0x9E3779B1 * (epoch_id + 1)) % (2**32)
             )
             _, negs = self.train_sampler.sample_with(rs, n)
+            negs = self._neg_ids(negs)
             if pad:
                 negs = np.concatenate([negs, np.zeros(pad, negs.dtype)])
             return negs.astype(np.int32)
@@ -713,6 +780,7 @@ class Trainer:
                         run_cfg, train, n_batches,
                         self.params, self.opt_state, self.mem,
                         rng, self.edge_feats, nbr_index, stream,
+                        mesh=self._mesh,
                     )
                 )
             else:
@@ -787,6 +855,7 @@ class Trainer:
                                 self.params, self.opt_state, self.mem,
                                 self._fold_rng(rng, ci), self.edge_feats,
                                 nbr_index, chunk_stream, queries,
+                                mesh=self._mesh,
                             )
                         )
                     else:
@@ -935,10 +1004,21 @@ class Trainer:
             self.cfg, self._n_seeds
         )
         if self._mesh is not None:
-            from zebra_tpu.parallel import shard_index_state, shard_memory
+            from zebra_tpu.parallel import (
+                replicate,
+                shard_index_state,
+                shard_memory,
+                shard_seed_trees,
+            )
 
-            self.mem = shard_memory(self.mem, self._mesh)
-            self.index_state = shard_index_state(self.index_state, self._mesh)
+            if self._n_seeds > 1:
+                self.mem = shard_seed_trees(self.mem, self._mesh)
+                self.index_state = replicate(self.index_state, self._mesh)
+            else:
+                self.mem = shard_memory(self.mem, self._mesh)
+                self.index_state = shard_index_state(
+                    self.index_state, self._mesh
+                )
 
     def validate(self) -> Tuple[PhaseResult, PhaseResult]:
         """Transductive + inductive validation with the backup/restore dance
@@ -1048,14 +1128,26 @@ class Trainer:
         )
         if self._mesh is not None:
             # checkpoints store host arrays; put the node tables back on
-            # their row shards (params/optimizer are replicated anyway)
-            from zebra_tpu.parallel import shard_index_state, shard_memory
+            # their shards (seed axis when seed-parallel, node rows
+            # otherwise; params/optimizer replicate in the row layout)
+            from zebra_tpu.parallel import (
+                replicate,
+                shard_index_state,
+                shard_memory,
+                shard_seed_trees,
+            )
 
-            self.mem = shard_memory(self.mem, self._mesh)
-            if self.index_state != ():
-                self.index_state = shard_index_state(
-                    self.index_state, self._mesh
-                )
+            if self._n_seeds > 1:
+                self.params = shard_seed_trees(self.params, self._mesh)
+                self.opt_state = shard_seed_trees(self.opt_state, self._mesh)
+                self.mem = shard_seed_trees(self.mem, self._mesh)
+                self.index_state = replicate(self.index_state, self._mesh)
+            else:
+                self.mem = shard_memory(self.mem, self._mesh)
+                if self.index_state != ():
+                    self.index_state = shard_index_state(
+                        self.index_state, self._mesh
+                    )
         self.rng = jnp.asarray(ckpt["rng"])
         np.random.set_state(ckpt["np_random"])
         chunk = int(ckpt.get("chunk", 0) or 0)
@@ -1371,6 +1463,24 @@ class Trainer:
                 )],
             },
         }
+
+
+def _permute_splits(splits: DatasetSplits, perm: np.ndarray) -> DatasetSplits:
+    """Relabel every split's node ids through ``perm`` (timestamps, edge
+    ids, and labels are positional and unchanged). The model is
+    permutation-equivariant in node ids — all per-node state is gathered
+    by id — so training on the permuted stream produces identical results
+    up to top-k tie-break order (ties break by neighbor id)."""
+    def pd(d: Data) -> Data:
+        return Data(perm[d.sources], perm[d.destinations], d.timestamps,
+                    d.edge_idxs, d.labels)
+
+    return DatasetSplits(
+        full=pd(splits.full), train=pd(splits.train), val=pd(splits.val),
+        test=pd(splits.test), new_node_val=pd(splits.new_node_val),
+        new_node_test=pd(splits.new_node_test),
+        n_nodes=splits.n_nodes, n_edges=splits.n_edges,
+    )
 
 
 @jax.jit

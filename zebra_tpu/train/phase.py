@@ -314,12 +314,12 @@ def _lane_queries(cfg: Config, b: int, t_b, rows3, nbr_index, src, dst, neg):
 
 def _lane_step(cfg: Config, train: bool, b: int, opt, edge_feats, nbr_index,
                need_emb: bool, p, o, mem_like, k_drop, q, nodes3, times3,
-               valid):
-    """One lane's forward (+ backward + optimizer) and metrics — the math
-    shared verbatim by the stacked and flat seed-parallel bodies; only the
-    memory protocol differs between them and stays with the caller.
-    ``mem_like`` is the lane's [N, ·] tables (stacked path) or the shared
-    flat [S·N, ·] tables with ``nodes3``/``q.nbr`` pre-offset (flat path).
+               valid, mem_off=None):
+    """One lane's forward (+ backward + optimizer) and metrics.
+    ``mem_like`` is the shared flat [S·N, ·] tables; the diffusion path
+    pre-offsets ``nodes3``/``q.nbr`` into the lane's row range, the other
+    towers pass raw node ids plus ``mem_off`` (their forwards also resolve
+    ADJACENCY by node id, which must stay raw — models/embedding.py:_offset).
     Returns (params, opt_state, metrics, emb2b-or-None)."""
     overflow = jnp.zeros(())
     if train:
@@ -332,7 +332,8 @@ def _lane_step(cfg: Config, train: bool, b: int, opt, edge_feats, nbr_index,
 
         def loss_fn(p_):
             emb = _forward(cfg, p_, mem_like, edge_feats, nodes3, times3,
-                           q, nbr_index, k_drop, train=True, plan=plan)
+                           q, nbr_index, k_drop, train=True, plan=plan,
+                           mem_off=mem_off)
             pos_logit, neg_logit = _scores(cfg, p_, emb, b)
             bce_pos = optax.sigmoid_binary_cross_entropy(
                 pos_logit, jnp.ones_like(pos_logit)
@@ -355,7 +356,7 @@ def _lane_step(cfg: Config, train: bool, b: int, opt, edge_feats, nbr_index,
     else:
         loss = jnp.zeros(())
         emb = _forward(cfg, p, mem_like, edge_feats, nodes3, times3, q,
-                       nbr_index, None, train=False)
+                       nbr_index, None, train=False, mem_off=mem_off)
         pos_logit, neg_logit = _scores(cfg, p, emb, b)
         pos_p = jax.nn.sigmoid(pos_logit)
         neg_p = jax.nn.sigmoid(neg_logit)
@@ -390,6 +391,12 @@ def _run_phase_seeds(
                              # scan ([E, 3, F] for eval), or None for the
                              # strategies that query per seed (pruning BFS /
                              # recursive towers)
+    seed_base=None,          # i32 [] global index of this shard's first seed
+                             # (seed-sharded mesh execution: inside shard_map
+                             # the leading axes hold only the LOCAL seeds,
+                             # but the packed query rows stay replicated and
+                             # are indexed by GLOBAL seed). None/0 = all
+                             # seeds local (single-device)
 ):
     """Seed-parallel variant of :func:`_run_phase`: S independent runs
     (per-seed params, optimizer, memory, dropout streams, train negatives)
@@ -443,32 +450,35 @@ def _run_phase_seeds(
         cfg.use_source_embedding_in_message
         or cfg.use_destination_embedding_in_message
     )
-    # per-seed block picker: seed s reads query blocks [src, dst, neg_s]
-    block_of_seed = jnp.asarray(
-        [[0, 1, 2 + s] for s in range(n_seeds)], jnp.int32
+    # per-seed block picker: seed s reads query blocks [src, dst, neg_s];
+    # under seed-sharded execution the neg-block index is the GLOBAL seed
+    lanes = jnp.arange(n_seeds, dtype=jnp.int32)
+    base = jnp.int32(0) if seed_base is None else seed_base
+    block_of_seed = jnp.stack(
+        [jnp.zeros_like(lanes), jnp.ones_like(lanes), 2 + base + lanes],
+        axis=1,
+    )                                                   # i32 [S, 3]
+
+    # Every tower reads per-seed node state ONLY through row gathers, so the
+    # seed axis lives in the ROW SPACE instead of a batched array axis: the
+    # tables are carried FLAT [S·N, ...] with seed s owning rows
+    # [s·N, (s+1)·N), the vmapped forward gathers at per-lane offset ids
+    # from the unbatched tables, and the memory protocol runs ONCE over the
+    # concatenated lanes (train/step.py:*_flat). Rationale: vmapped scatters
+    # and gathers disagree about a stacked [S, N, ...] table's layout and
+    # XLA relayouts the WHOLE table every batch — 2.5× at Wiki-Talk scale
+    # (NOTES.md round 4). The diffusion path pre-offsets its query ids; the
+    # recursive/identity/time towers also resolve ADJACENCY by raw node id,
+    # so they take a lane offset (``mem_off``) applied only at the memory
+    # gathers (models/embedding.py:_offset) — the adjacency index stays
+    # shared across seeds.
+    n_rows = mem.memory.shape[1]
+    offs = jnp.arange(n_seeds, dtype=jnp.int32) * n_rows
+    mem = jax.tree.map(
+        lambda x: x.reshape((n_seeds * n_rows,) + x.shape[2:]), mem
     )
 
-    # Diffusion towers read memory ONLY through row gathers (nodes3 /
-    # q.nbr), so the seed axis can live in the ROW SPACE instead of a
-    # batched array axis: the tables are carried FLAT [S·N, ...] with seed
-    # s owning rows [s·N, (s+1)·N), the vmapped forward gathers at
-    # per-lane offset ids from the unbatched tables, and the memory
-    # protocol runs ONCE over the concatenated lanes
-    # (train/step.py:*_flat). Rationale: vmapped scatters and gathers
-    # disagree about a stacked [S, N, ...] table's layout and XLA
-    # relayouts the WHOLE table every batch — 2.5× at Wiki-Talk scale
-    # (NOTES.md round 4). The recursive/identity/time towers resolve
-    # adjacency by node id inside the forward, so they keep the stacked
-    # path (their state is model-sized, not node-table-bound).
-    flat = cfg.embedding_module == "diffusion"
-    if flat:
-        n_rows = mem.memory.shape[1]
-        offs = jnp.arange(n_seeds, dtype=jnp.int32) * n_rows
-        mem = jax.tree.map(
-            lambda x: x.reshape((n_seeds * n_rows,) + x.shape[2:]), mem
-        )
-
-    def batch_body_flat(carry, xs_item):
+    def batch_body(carry, xs_item):
         s, q_rows = xs_item
         params, opt_state, memf, rng = carry
         positives = jnp.concatenate([s.src, s.dst])
@@ -479,13 +489,19 @@ def _run_phase_seeds(
             r, k_drop = jax.random.split(r)
             q = _lane_queries(cfg, b, s.t, rows3, nbr_index,
                               s.src, s.dst, neg)
-            # this lane's rows live at ids + off; empty top-k slots
-            # (nbr 0, w 0) land on the lane's own dummy row 0
-            q = q._replace(nbr=q.nbr + off)
-            nodes3 = jnp.concatenate([s.src, s.dst, neg]) + off
+            nodes3 = jnp.concatenate([s.src, s.dst, neg])
+            if q is not None:
+                # this lane's rows live at ids + off; empty top-k slots
+                # (nbr 0, w 0) land on the lane's own dummy row 0
+                q = q._replace(nbr=q.nbr + off)
+                nodes3 = nodes3 + off
+                mem_off = None
+            else:
+                mem_off = off  # raw ids + in-forward offset (adjacency)
             p, o, metrics, emb2b = _lane_step(
                 cfg, train, b, opt, edge_feats, nbr_index, need_emb,
                 p, o, memf, k_drop, q, nodes3, times3, s.valid,
+                mem_off=mem_off,
             )
             return (p, o, r), metrics, emb2b
 
@@ -533,75 +549,81 @@ def _run_phase_seeds(
             )
         return (params, opt_state, memf, rng), metrics
 
-    def batch_body(carry, xs_item):
-        s, q_rows = xs_item
-        params, opt_state, mem, rng = carry
-
-        def seed_fn(p, o, m_, r, neg, rows3):
-            r, k_drop = jax.random.split(r)
-            q = _lane_queries(cfg, b, s.t, rows3, nbr_index,
-                              s.src, s.dst, neg)
-            nodes3 = jnp.concatenate([s.src, s.dst, neg])
-            times3 = jnp.concatenate([s.t, s.t, s.t])
-            positives = jnp.concatenate([s.src, s.dst])
-            valid2 = jnp.concatenate([s.valid, s.valid])
-
-            p, o, metrics, emb2b = _lane_step(
-                cfg, train, b, opt, edge_feats, nbr_index, need_emb,
-                p, o, m_, k_drop, q, nodes3, times3, s.valid,
-            )
-            src_emb = dst_emb = None
-            if need_emb:
-                src_emb, dst_emb = emb2b[:b], emb2b[b:]
-            if train:
-                m_ = _commit_pending(cfg, p, m_, positives, valid2)
-                m_ = _store_messages(
-                    cfg, p, m_, edge_feats, s.src, s.dst, s.t, s.eidx,
-                    s.valid, src_emb, dst_emb,
-                )
-            elif cfg.aggregator == "last":
-                m_ = eval_store_commit(
-                    cfg, p, m_, edge_feats, s.src, s.dst, s.t,
-                    s.eidx, s.valid, src_emb, dst_emb,
-                )
-            else:
-                m_ = _store_messages(
-                    cfg, p, m_, edge_feats, s.src, s.dst, s.t, s.eidx,
-                    s.valid, src_emb, dst_emb,
-                )
-                m_ = _commit_pending(cfg, p, m_, positives, valid2)
-            return (p, o, m_, r), metrics
-
-        if multi_neg:
-            negs_in, neg_ax = s.neg.T, 0                # [S, b]
-        else:
-            negs_in, neg_ax = s.neg, None               # shared eval draw
-        if q_rows is None:
-            q_in, q_ax = None, None
-        elif q_rows.shape[1] == 3 and not multi_neg:
-            q_in, q_ax = q_rows, None                   # shared eval rows
-        else:
-            q_in, q_ax = q_rows[:, block_of_seed].transpose(1, 0, 2, 3), 0
-
-        (params, opt_state, mem, rng), metrics = jax.vmap(
-            seed_fn, in_axes=(0, 0, 0, 0, neg_ax, q_ax)
-        )(params, opt_state, mem, rng, negs_in, q_in)
-        return (params, opt_state, mem, rng), metrics
-
     (params, opt_state, mem, _), metrics = jax.lax.scan(
-        batch_body_flat if flat else batch_body,
-        (params, opt_state, mem, rng), xs, unroll=2,
+        batch_body, (params, opt_state, mem, rng), xs, unroll=2,
     )
-    if flat:
-        mem = jax.tree.map(
-            lambda x: x.reshape((n_seeds, n_rows) + x.shape[1:]), mem
-        )
+    mem = jax.tree.map(
+        lambda x: x.reshape((n_seeds, n_rows) + x.shape[1:]), mem
+    )
     return params, opt_state, mem, metrics
+
+
+def _run_phase_seeds_sharded(
+    cfg: Config,
+    train: bool,
+    n_batches: int,
+    mesh,                    # jax.sharding.Mesh with axis 'data'
+    params, opt_state, mem, rng, edge_feats, nbr_index, stream,
+    queries=None,
+):
+    """Seed-SHARDED phase: the S vmapped lanes of :func:`_run_phase_seeds`
+    distributed over the mesh, whole seeds per device (S % n_devices == 0).
+
+    With the flat [S·N, ·] tables the seed axis is just rows, so sharding BY
+    SEED is embarrassingly parallel: each device runs the identical batch
+    scan over its own S/D lanes and ZERO collectives appear inside the scan
+    — expressed as ``shard_map`` so locality holds by construction (a pjit
+    gather over a row-sharded table could not be proven local and would
+    lower to all-gathers). The shared event stream, wave-scan query rows,
+    edge features, and adjacency index replicate; per-seed state (params,
+    optimizer, memory, dropout keys) and the per-seed negative columns
+    shard. Each shard indexes the replicated query rows by its GLOBAL seed
+    ids (``seed_base``).
+
+    The reference runs multi-run sweeps sequentially on one GPU (reference
+    train.py:149); this is the TPU-native scale-out of that axis
+    (SURVEY.md §7 stage 6)."""
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.devices.size
+    n_seeds = jax.tree.leaves(params)[0].shape[0]
+    if n_seeds % n_dev:
+        raise ValueError(
+            f"seed-sharded phase needs parallel_runs ({n_seeds}) divisible "
+            f"by the mesh size ({n_dev})"
+        )
+    s_local = n_seeds // n_dev
+    multi_neg = stream.neg.ndim == 2
+    seed = P("data")
+    repl = P()
+
+    def body(params, opt_state, mem, rng, edge_feats, nbr_index, stream,
+             queries):
+        base = jax.lax.axis_index("data") * s_local
+        return _run_phase_seeds(
+            cfg, train, n_batches, params, opt_state, mem, rng,
+            edge_feats, nbr_index, stream, queries, seed_base=base,
+        )
+
+    stream_spec = Stream(
+        src=repl, dst=repl,
+        neg=P(None, "data") if multi_neg else repl,
+        t=repl, eidx=repl, valid=repl,
+    )
+    out = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(seed, seed, seed, seed, repl, repl, stream_spec, repl),
+        out_specs=(seed, seed, seed, P(None, "data")),
+        check_vma=False,
+    )(params, opt_state, mem, rng, edge_feats, nbr_index, stream, queries)
+    return out
 
 
 _run_phase_jit = None
 _run_phase_fused_jit = None
 _run_phase_seeds_jit = None
+_run_phase_seeds_sharded_jit = None
 
 
 def run_phase(*args, **kwargs):
@@ -632,9 +654,23 @@ def run_phase_fused(*args, **kwargs):
     return _run_phase_fused_jit(*args, **kwargs)
 
 
-def run_phase_seeds(*args, **kwargs):
-    """Jitted :func:`_run_phase_seeds` (seed-parallel phase)."""
-    global _run_phase_seeds_jit
+def run_phase_seeds(*args, mesh=None, **kwargs):
+    """Jitted :func:`_run_phase_seeds` (seed-parallel phase); with ``mesh``,
+    the seed-SHARDED variant (:func:`_run_phase_seeds_sharded` — whole seeds
+    per device, zero collectives in the scan)."""
+    global _run_phase_seeds_jit, _run_phase_seeds_sharded_jit
+    if mesh is not None:
+        if _run_phase_seeds_sharded_jit is None:
+            _run_phase_seeds_sharded_jit = functools.partial(
+                jax.jit,
+                static_argnames=("cfg", "train", "n_batches", "mesh"),
+                donate_argnames=("params", "opt_state", "mem"),
+                compiler_options=resolve_compiler_options(),
+            )(_run_phase_seeds_sharded)
+        cfg, train, n_batches, *rest = args
+        return _run_phase_seeds_sharded_jit(
+            cfg, train, n_batches, mesh, *rest, **kwargs
+        )
     if _run_phase_seeds_jit is None:
         _run_phase_seeds_jit = functools.partial(
             jax.jit,

@@ -292,6 +292,11 @@ def _forward(
     train: bool,
     plan: LazyPlan = None,       # precomputed make_lazy_plan (train phase
                                  # passes it from outside the grad)
+    mem_off=None,                # seed-parallel flat tables (non-diffusion
+                                 # towers): lane row offset added at memory
+                                 # gathers; adjacency keeps raw ids. The
+                                 # diffusion caller pre-offsets nodes3/q.nbr
+                                 # instead (there is no raw-id consumer)
 ) -> jnp.ndarray:
     """Embeddings for the 3b query rows → [3b, H]; dispatches on
     cfg.embedding_module (see zebra_tpu.models.embedding)."""
@@ -323,12 +328,15 @@ def _forward(
 
     if em in ("graph_attention", "graph_sum"):
         return recursive_embed(
-            cfg, params, mem, edge_feats, nbr_index, nodes3, times3, train
+            cfg, params, mem, edge_feats, nbr_index, nodes3, times3, train,
+            mem_off=mem_off,
         )
     if em == "time":
-        return time_embed(cfg, params, mem, nodes3, times3, train)
+        return time_embed(cfg, params, mem, nodes3, times3, train,
+                          mem_off=mem_off)
     if em == "identity":
-        return identity_embed(cfg, params, mem, nodes3, train)
+        return identity_embed(cfg, params, mem, nodes3, train,
+                              mem_off=mem_off)
     raise ValueError(f"unknown embedding module {em!r}")
 
 
