@@ -25,14 +25,22 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
-def study(src, dst, neg, n_nodes, cap, shard_list):
+def study(src, dst, neg, n_nodes, cap, shard_list, interleave=False):
     from zebra_tpu.native.ingest import wave_schedule
+
+    if interleave:
+        from zebra_tpu.parallel import interleave_permutation
 
     rows = []
     base = None
     for s in shard_list:
+        if interleave and s > 1:
+            perm = interleave_permutation(n_nodes, s)
+            a, b, c = perm[src], perm[dst], perm[neg]
+        else:
+            a, b, c = src, dst, neg
         t0 = time.time()
-        _, _, n_waves = wave_schedule(src, dst, neg, n_nodes, cap, s)
+        _, _, n_waves = wave_schedule(a, b, c, n_nodes, cap, s)
         dt = time.time() - t0
         occ = len(src) / (n_waves * cap)
         if base is None:
@@ -58,13 +66,17 @@ def main():
         n_nodes = int(max(src.max(), dst.max())) + 1
         neg = rs.randint(1, n_nodes, n_events).astype(np.int32)
         hot = np.bincount(np.concatenate([src, dst])).max() / (2 * n_events)
+        # node-id interleaving needs the Trainer's padded N (multiple of 128)
+        n_pad = -(-n_nodes // 128) * 128
         print(f"\n== {label}: measured hottest {100 * hot:.2f}% ==")
         print(f"{'n_shards':>8s} {'n_waves':>8s} {'inflation':>9s} "
-              f"{'occupancy':>9s} {'sched_s':>8s}")
-        for s, w, infl, occ, dt in study(
-            src, dst, neg, n_nodes, 64, [1, 2, 4, 8, 16]
-        ):
-            print(f"{s:8d} {w:8d} {infl:9.2f} {occ:9.3f} {dt:8.3f}")
+              f"{'occupancy':>9s} {'sched_s':>8s}   (raw ids | interleaved)")
+        raw = study(src, dst, neg, n_pad, 64, [1, 2, 4, 8, 16])
+        il = study(src, dst, neg, n_pad, 64, [1, 2, 4, 8, 16],
+                   interleave=True)
+        for (s, w, infl, occ, dt), (_, wi, infli, occi, _) in zip(raw, il):
+            print(f"{s:8d} {w:8d} {infl:9.2f} {occ:9.3f} {dt:8.3f}   "
+                  f"| {wi:8d} {infli:9.2f} {occi:9.3f}")
 
 
 if __name__ == "__main__":

@@ -152,6 +152,27 @@ class Config:
                                        # removes; single-host meshes ride
                                        # fast ICI/HBM and only pay the wave
                                        # inflation)
+    interleave_node_ids: Optional[bool] = None
+                                     # relabel node ids round-robin across
+                                     # shards (parallel/sharding.py:
+                                     # interleave_permutation) so
+                                     # owner-aligned wave scheduling keeps
+                                     # its lane blocks balanced under
+                                     # JODIE-style bipartite numbering
+                                     # (which otherwise puts EVERY src in
+                                     # shard 0 — 2.00× wave inflation at 2
+                                     # shards, docs/SCALING.md). None =
+                                     # auto: on iff owner-aligned
+                                     # scheduling is active on a >1-shard
+                                     # mesh. Results are identical up to
+                                     # top-k tie-break order (the model is
+                                     # permutation-equivariant in node ids)
+    interleave_shards: int = 0       # set by the Trainer: the shard count
+                                     # the id permutation was built for
+                                     # (0 = identity). Rides in checkpoints
+                                     # so serving reconstructs the same
+                                     # mapping; state-shaping (rows are
+                                     # relabeled) — see STATE_FIELDS
     pallas_merge: bool = True        # fused Pallas kernel for the SANTA merge
                                      # (used when running on TPU; ~3x the
                                      # XLA merge)
@@ -311,6 +332,8 @@ class Config:
         "message_dtype", "memory_dtype", "prng_impl",
         # stacked seed axis
         "parallel_runs",
+        # node-id relabeling (memory/index rows live in permuted id space)
+        "interleave_shards",
     )
 
     @classmethod
@@ -420,6 +443,10 @@ class Config:
                        action="store_true", default=None)
         p.add_argument("--no_owner_aligned_waves",
                        dest="owner_aligned_waves", action="store_false")
+        p.add_argument("--interleave_node_ids", dest="interleave_node_ids",
+                       action="store_true", default=None)
+        p.add_argument("--no_interleave_node_ids",
+                       dest="interleave_node_ids", action="store_false")
         p.add_argument("--debug_nans", action="store_true")
         p.add_argument("--trace_dir", type=str, default=None)
         p.add_argument("--trace_epoch", type=int, default=1)

@@ -93,7 +93,7 @@ class LinkPredictor:
     def __init__(self, cfg: Config, params, mem: MemoryState, index_state,
                  edge_feats, nbr_index=(),
                  events: Optional[Tuple[np.ndarray, ...]] = None,
-                 rebuild_every: int = 1):
+                 rebuild_every: int = 1, internal_ids: bool = False):
         """``events`` is the (sources, destinations, timestamps, edge_idxs)
         stream ``nbr_index`` was built from: with it, ``observe()`` folds new
         interactions into the adjacency index (stateless strategies — pruning
@@ -109,10 +109,28 @@ class LinkPredictor:
         self.edge_feats = edge_feats
         self.nbr_index = nbr_index
         self._tppr = TpprParams.create(cfg.alpha_list, cfg.beta_list, cfg.topk)
+        # interleaved-id training (Config.interleave_shards): memory/index
+        # rows live in the permuted id space, so every externally supplied
+        # node id maps through the same permutation at this boundary.
+        # ``internal_ids`` marks events already in internal space (the
+        # from_trainer path — the Trainer permuted its splits at
+        # construction); _events is ALWAYS stored internal.
+        self._id_perm = None
+        if int(getattr(cfg, "interleave_shards", 0) or 0) > 1:
+            from zebra_tpu.parallel import interleave_permutation
+
+            self._id_perm = interleave_permutation(
+                cfg.n_nodes, cfg.interleave_shards
+            )
         self._events = (
             tuple(np.asarray(c).copy() for c in events)
             if events is not None else None
         )
+        if self._events is not None and self._id_perm is not None \
+                and not internal_ids:
+            self._events = (
+                self._map_ids(self._events[0]), self._map_ids(self._events[1]),
+            ) + self._events[2:]
         self._pending: list = []
         self._pending_n = 0
         self.rebuild_every = max(1, rebuild_every)
@@ -125,6 +143,14 @@ class LinkPredictor:
             self.nbr_index = pad_arena(
                 self.nbr_index, _arena_capacity(len(self._events[0]))
             )
+
+    def _map_ids(self, ids):
+        """External node ids → internal (permuted) row ids; identity when
+        the checkpoint was not trained with --interleave_node_ids."""
+        ids = np.asarray(ids, np.int32)
+        if self._id_perm is None:
+            return ids
+        return self._id_perm[ids]
 
     @classmethod
     def from_checkpoint(cls, path: str, cfg: Optional[Config] = None,
@@ -207,6 +233,16 @@ class LinkPredictor:
             edge_feats = jnp.zeros((cfg.n_edges, cfg.edge_dim), jnp.float32)
         else:
             edge_feats = jnp.asarray(edge_feats, jnp.float32)
+        if events is not None and int(cfg.interleave_shards or 0) > 1:
+            # checkpoint trained with interleaved ids: the caller's event
+            # stream is external-id space — relabel once so the adjacency
+            # index and the stored base stream live internal (like every
+            # row of the restored memory/index state)
+            from zebra_tpu.parallel import interleave_permutation
+
+            perm = interleave_permutation(cfg.n_nodes, cfg.interleave_shards)
+            events = (perm[np.asarray(events[0], np.int64)],
+                      perm[np.asarray(events[1], np.int64)]) + tuple(events[2:])
         nbr_index = ()
         if cfg.needs_adjacency:
             if events is None:
@@ -222,7 +258,8 @@ class LinkPredictor:
                 events[0], events[1], events[2], events[3], cfg.n_nodes
             )
         return cls(cfg, params, mem, index_state, edge_feats, nbr_index,
-                   events=events, rebuild_every=rebuild_every)
+                   events=events, rebuild_every=rebuild_every,
+                   internal_ids=True)
 
     @classmethod
     def from_trainer(cls, trainer, rebuild_every: int = 1) -> "LinkPredictor":
@@ -249,6 +286,7 @@ class LinkPredictor:
             trainer.full_nbr_index,
             events=(fu.sources, fu.destinations, fu.timestamps, fu.edge_idxs),
             rebuild_every=rebuild_every,
+            internal_ids=True,  # the Trainer permuted its splits already
         )
 
     # ------------------------------------------------------------ adjacency
@@ -337,7 +375,10 @@ class LinkPredictor:
         )
 
     def score(self, src, dst, t) -> np.ndarray:
-        """P(interaction) for each (src, dst) candidate at its timestamp."""
+        """P(interaction) for each (src, dst) candidate at its timestamp.
+        ``src``/``dst`` are external node ids (mapped through the
+        interleave permutation when the checkpoint used one)."""
+        src, dst = self._map_ids(src), self._map_ids(dst)
         q = self._queries(src, dst, t, with_neg=False)
         nodes2 = jnp.asarray(
             np.concatenate([np.asarray(src), np.asarray(dst)]), jnp.int32
@@ -355,7 +396,9 @@ class LinkPredictor:
         """Ingest observed interactions: stream them through the T-PPR index
         (streaming strategy), fold them into the adjacency index
         (pruning/recursive strategies — see ``rebuild_every``), and apply the
-        eval-mode memory protocol (store then commit)."""
+        eval-mode memory protocol (store then commit). External node ids
+        (mapped like :meth:`score`)."""
+        src, dst = self._map_ids(src), self._map_ids(dst)
         self._append_events(src, dst, t, eidx)
         src = np.asarray(src, np.int32)
         dst = np.asarray(dst, np.int32)
@@ -467,6 +510,7 @@ class EnsemblePredictor(LinkPredictor):
         return int(jax.tree.leaves(self.params)[0].shape[0])
 
     def score(self, src, dst, t) -> np.ndarray:
+        src, dst = self._map_ids(src), self._map_ids(dst)
         q = self._queries(src, dst, t, with_neg=False)
         nodes2 = jnp.asarray(
             np.concatenate([np.asarray(src), np.asarray(dst)]), jnp.int32
@@ -482,6 +526,7 @@ class EnsemblePredictor(LinkPredictor):
     def member_scores(self, src, dst, t) -> np.ndarray:
         """Per-member probabilities [S, B] (for calibration / disagreement
         diagnostics; `score` is their mean)."""
+        src, dst = self._map_ids(src), self._map_ids(dst)
         q = self._queries(src, dst, t, with_neg=False)
         nodes2 = jnp.asarray(
             np.concatenate([np.asarray(src), np.asarray(dst)]), jnp.int32
