@@ -239,6 +239,7 @@ class Trainer:
                     f"{len(cfg.parallel_lr)} for {self._n_seeds} runs"
                 )
 
+        self._check_hbm_budget()
         self.edge_feats = self._to_dev(np.asarray(edge_feats, np.float32))
 
         # samplers (reference train.py:140-144; inductive val reuses the val
@@ -552,6 +553,55 @@ class Trainer:
         if self._n_seeds == 1:
             return jax.random.fold_in(rng, ci)
         return jax.vmap(lambda k: jax.random.fold_in(k, ci))(rng)
+
+    def _check_hbm_budget(self):
+        """Fail loudly (before any epoch) when the per-device node tables
+        cannot fit the accelerator's HBM — a seed-parallel run at large N
+        would otherwise die mid-epoch in an opaque allocator error. The
+        dominant residents are the flat [S_local·N, ·] memory/message
+        tables (double-buffered by donation during the scan hand-off) and
+        the T-PPR state; streams/params are comparatively negligible."""
+        cfg = self.cfg
+        try:
+            stats = jax.devices()[0].memory_stats()
+        except Exception:
+            stats = None
+        limit = (stats or {}).get("bytes_limit")
+        if not limit:
+            return  # CPU / backend without accounting
+        n_dev = self._mesh.devices.size if self._mesh is not None else 1
+        s_local = -(-self._n_seeds // n_dev)
+        n_rows = cfg.n_nodes if self._n_seeds > 1 else (
+            -(-cfg.n_nodes // n_dev)  # single-seed row sharding
+        )
+        per_row = (
+            cfg.memory_dim * jnp.dtype(cfg.memory_dtype).itemsize
+            + (cfg.msg_table_dim + 1) * jnp.dtype(cfg.message_dtype).itemsize
+            + 3 * 4  # last_update, msg_ts, msg_count (f32)
+        )
+        tables = s_local * n_rows * per_row
+        index = 0
+        if cfg.embedding_module == "diffusion" and cfg.tppr_strategy == "streaming":
+            # flat packed rows [N, M(4k+1)] f32, replicated under seed
+            # sharding, row-sharded single-seed
+            index = n_rows * cfg.n_tppr * (4 * cfg.topk + 1) * 4
+        # donation double-buffers the carried state across dispatches
+        est = 2 * tables + index
+        if est > limit:
+            raise ValueError(
+                f"node-table HBM budget exceeded: ~{est / 2**30:.1f} GiB "
+                f"estimated per device ({s_local} seed(s) × {n_rows} rows × "
+                f"{per_row} B + index, ×2 for donation double-buffering) vs "
+                f"{limit / 2**30:.1f} GiB HBM. Reduce --parallel_runs, "
+                f"shard seeds over more devices (--n_devices), or shrink "
+                f"--memory_dim/--topk."
+            )
+        if est > 0.8 * limit:
+            logger.warning(
+                "node tables estimated at %.1f GiB of %.1f GiB device HBM "
+                "(%.0f%%) — close to the ceiling; expect allocator pressure",
+                est / 2**30, limit / 2**30, 100 * est / limit,
+            )
 
     def _neg_ids(self, negs: np.ndarray) -> np.ndarray:
         """Sampler draws (original id space) → internal row ids (the
