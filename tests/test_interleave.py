@@ -87,6 +87,24 @@ def test_trainer_interleaved_matches_plain(tmp_path):
     np.testing.assert_allclose(ii.ap, ip_.ap, rtol=0, atol=5e-3)
 
 
+def test_seed_sharded_keeps_dense_schedule(tmp_path):
+    """Seed-SHARDED runs replicate the index (each device scans all rows),
+    so owner alignment has no locality to buy: the wave scheduler must stay
+    dense (n_shards=1) and auto-interleave must stay off even when
+    --owner_aligned_waves is set."""
+    from tests.test_seed_parallel import _seed_trainer
+
+    kw = dict(n_epoch=1, parallel_runs=2, owner_aligned_waves=True)
+    sharded = _seed_trainer(tmp_path / "m", n_devices=2, **kw)
+    single = _seed_trainer(tmp_path / "s", **kw)
+    assert sharded.cfg.interleave_shards == 0
+    assert sharded._id_perm is None
+    sharded.train_epoch()
+    single.train_epoch()
+    # identical (dense) schedules → identical wave high-water marks
+    assert sharded._wave_hwm == single._wave_hwm
+
+
 def test_serving_maps_external_ids(tmp_path):
     """Serving an interleave-trained snapshot with EXTERNAL ids: scores
     equal the plain-trained predictor's for the same external queries, and

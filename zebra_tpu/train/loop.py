@@ -180,7 +180,11 @@ class Trainer:
         n_shards_mesh = self._mesh.devices.size if self._mesh is not None else 1
         use_il = cfg.interleave_node_ids
         if use_il is None:
-            use_il = n_shards_mesh > 1 and resolve_owner_aligned(cfg)
+            # auto-on only where owner alignment actually runs: single-seed
+            # row sharding on a >1-shard mesh (seed-sharded runs replicate
+            # the index — _wave_scheds keeps n_shards=1 there)
+            use_il = (n_shards_mesh > 1 and int(cfg.parallel_runs) <= 1
+                      and resolve_owner_aligned(cfg))
         self._id_perm = None
         # negative SAMPLERS stay in original id space: RandEdgeSampler draws
         # indices into the SORTED unique-node array (reference util.py:74),
@@ -715,7 +719,12 @@ class Trainer:
         total = stream.src.shape[0]
         chunk = total // n_chunks
         n_shards = 1
-        if resolve_owner_aligned(cfg) and self._mesh is not None:
+        if (resolve_owner_aligned(cfg) and self._mesh is not None
+                and self._n_seeds == 1):
+            # owner alignment exists to keep src-row reads local to the
+            # shard owning the row — under seed SHARDING the index state is
+            # replicated (every device scans all rows), so alignment has no
+            # locality to buy and would only pay the wave-count inflation
             n_shards = self._mesh.devices.size
         raw = []
         for lo in range(0, total, chunk):
