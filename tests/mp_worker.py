@@ -157,6 +157,9 @@ def main():
     if mode == "trainer":
         run_trainer(out)
         return
+    if mode == "seeds":
+        run_seeds(out)
+        return
     from jax.sharding import Mesh
 
     mesh = Mesh(np.array(jax.devices()), ("data",))
@@ -221,6 +224,58 @@ def run_trainer(out):
         index=host(trainer.index_state.data),
         scalars=np.asarray([r1.loss, r2.loss, r2.ap, trans.ap, induct.ap],
                            np.float64),
+    )
+
+
+def run_seeds(out):
+    """Seed-SHARDED worker: a seed-parallel Trainer (whole seeds per device
+    via shard_map, train/phase.py:_run_phase_seeds_sharded) over the GLOBAL
+    mesh — with 2 processes the seed axis spans Gloo. Deterministic
+    construction as in run_trainer; writes per-seed metrics plus the
+    allgathered stacked memory and the (replicated) index table."""
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "threefry2x32")
+
+    from jax.experimental import multihost_utils
+
+    from zebra_tpu.config import Config
+    from zebra_tpu.data.dataset import split_data
+    from zebra_tpu.data.synthetic import synthetic_stream
+    from zebra_tpu.train.loop import Trainer
+
+    data, edge_feats = synthetic_stream(
+        n_events=900, n_users=30, n_items=30, edge_dim=4, seed=0
+    )
+    splits = split_data(
+        data.sources, data.destinations, data.timestamps, data.edge_idxs,
+        data.labels,
+    )
+    cfg = Config(
+        data="mp_seeds", bs=25, node_dim=8, time_dim=8, memory_dim=8,
+        topk=3, alpha_list=(0.1, 0.2), beta_list=(0.9, 0.8),
+        tppr_strategy="streaming", index_chunk=100, seed=5,
+        prng_impl="threefry2x32", memory_dtype="float32",
+        parallel_runs=4, n_devices=0,
+        checkpoint_dir="/tmp/zebra_mp_seeds_ckpt",
+    )
+    trainer = Trainer(cfg, splits, edge_feats)
+    r1 = trainer.train_epoch()
+    trans, induct = trainer.validate()
+
+    def host(x):
+        if x.is_fully_addressable:
+            return np.asarray(x)
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+    np.savez(
+        out,
+        mem=host(trainer.mem.memory).astype(np.float32),
+        index=host(trainer.index_state.data),
+        ap=np.asarray(r1.ap, np.float64),
+        loss=np.asarray(r1.loss, np.float64),
+        val_ap=np.asarray(trans.ap, np.float64),
+        nn_val_ap=np.asarray(induct.ap, np.float64),
     )
 
 

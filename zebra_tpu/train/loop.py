@@ -433,10 +433,11 @@ class Trainer:
             # 0's — negatives and wave schedules then agree everywhere
             from jax.experimental import multihost_utils
 
-            self._neg_base = int(
-                multihost_utils.broadcast_one_to_all(
-                    np.int64(self._neg_base)
-                )
+            nb = multihost_utils.broadcast_one_to_all(
+                np.asarray(self._neg_base, np.int64)  # [] or [S] (seeds)
+            )
+            self._neg_base = (
+                np.asarray(nb, np.int64) if np.ndim(nb) else int(nb)
             )
         self._epoch_id = 0
         self._train_prefetch = None

@@ -600,10 +600,19 @@ def _run_phase_seeds_sharded(
     def body(params, opt_state, mem, rng, edge_feats, nbr_index, stream,
              queries):
         base = jax.lax.axis_index("data") * s_local
-        return _run_phase_seeds(
+        params, opt_state, mem, metrics = _run_phase_seeds(
             cfg, train, n_batches, params, opt_state, mem, rng,
             edge_feats, nbr_index, stream, queries, seed_base=base,
         )
+        # metrics replicate (all-gather over the seed axis): the host loop
+        # reads them with np.asarray, which requires fully-addressable
+        # arrays — a seed-sharded metric leaf would not be when the mesh
+        # spans processes. [n_batches, S] floats: negligible traffic.
+        metrics = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, "data", axis=1, tiled=True),
+            metrics,
+        )
+        return params, opt_state, mem, metrics
 
     stream_spec = Stream(
         src=repl, dst=repl,
@@ -614,7 +623,7 @@ def _run_phase_seeds_sharded(
         body,
         mesh=mesh,
         in_specs=(seed, seed, seed, seed, repl, repl, stream_spec, repl),
-        out_specs=(seed, seed, seed, P(None, "data")),
+        out_specs=(seed, seed, seed, repl),
         check_vma=False,
     )(params, opt_state, mem, rng, edge_feats, nbr_index, stream, queries)
     return out
