@@ -26,7 +26,10 @@ def main():
                      dropout=0.1, skew=0.9, lr=1e-3)
     for arg in sys.argv[1:]:
         k, v = arg.split("=", 1)
-        overrides[k] = float(v) if ("." in v or "e-" in v) else int(v)
+        try:
+            overrides[k] = int(v)
+        except ValueError:
+            overrides[k] = float(v)  # 1e-3, 2E5, 1e+4, 0.5 ...
 
     from sklearn.metrics import average_precision_score
 

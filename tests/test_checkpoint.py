@@ -173,6 +173,13 @@ def test_state_compat_diff_fields():
     old = Config(topk=5, alpha_list=(0.1,), beta_list=(0.9,))
     object.__delattr__(old, "real_edge_feats")
     assert Config.state_compat_diff(old, a) == []
+    # n_layer shapes params only for the recursive towers (one attention/sum
+    # layer per hop); vestigial for diffusion
+    g1 = a.replace(embedding_module="graph_attention", n_layer=1)
+    g2 = g1.replace(n_layer=2)
+    diff = Config.state_compat_diff(g1, g2)
+    assert len(diff) == 1 and diff[0].startswith("n_layer")
+    assert Config.state_compat_diff(a, a.replace(n_layer=3)) == []
 
 
 def test_config_upgrade_fills_missing_fields():

@@ -61,12 +61,22 @@ def test_interleave_removes_bipartite_wave_inflation():
     assert w_perm <= 1.25 * w_base, (w_base, w_aligned, w_perm)
 
 
-def test_trainer_interleaved_matches_plain(tmp_path):
+@pytest.mark.parametrize("tower_kw", [
+    {},                                        # flagship diffusion
+    {"embedding_module": "graph_attention"},   # adjacency-querying tower:
+                                               # the neighbor index must be
+                                               # built in the PERMUTED id
+                                               # space (regression: it was
+                                               # built from the raw-id
+                                               # sampler splits)
+])
+def test_trainer_interleaved_matches_plain(tmp_path, tower_kw):
     """An owner-aligned 2-device trainer with interleaving reproduces the
     plain trainer's metrics: relabeling is equivalence up to top-k tie-break
     order (ties break by neighbor id), so APs agree to small tolerance."""
     kw = dict(n_epoch=1, n_events=1200, prng_impl="threefry2x32",
-              memory_dtype="float32", n_devices=2, owner_aligned_waves=True)
+              memory_dtype="float32", n_devices=2, owner_aligned_waves=True,
+              **tower_kw)
     plain = _make_trainer("streaming", checkpoint_dir=str(tmp_path / "a"),
                           interleave_node_ids=False, **kw)
     inter = _make_trainer("streaming", checkpoint_dir=str(tmp_path / "b"),

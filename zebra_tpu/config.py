@@ -351,6 +351,17 @@ class Config:
                 sv, lv = tuple(sv), tuple(lv)
             if sv != lv:
                 diffs.append(f"{name}: checkpoint={sv!r} vs live={lv!r}")
+        # the recursive towers carry one attention/sum layer per n_layer
+        # (models/tgn.py) — a params-shape field there, but vestigial for
+        # diffusion (where it is only the derived run_name's pruning depth),
+        # so compare it only when it shapes state
+        if (saved.embedding_module in ("graph_attention", "graph_sum")
+                or live.embedding_module in ("graph_attention", "graph_sum")):
+            if saved.n_layer != live.n_layer:
+                diffs.append(
+                    f"n_layer: checkpoint={saved.n_layer!r} vs "
+                    f"live={live.n_layer!r}"
+                )
         # inject_hyperparams wraps the optimizer state in an extra node:
         # the pytree STRUCTURE differs, not just values
         if (saved.parallel_lr is None) != (live.parallel_lr is None):

@@ -44,6 +44,20 @@ from zebra_tpu.train.step import (
 _ARENA_BUCKET = 65536
 
 
+def _events_to_internal(cfg: Config, events):
+    """External-id event columns → internal (interleave-permuted) id space;
+    identity when the config trained without --interleave_node_ids. THE one
+    definition of the external→internal event relabeling (constructor and
+    from_checkpoint both route through it)."""
+    if events is None or int(getattr(cfg, "interleave_shards", 0) or 0) <= 1:
+        return events
+    from zebra_tpu.parallel import interleave_permutation
+
+    perm = interleave_permutation(cfg.n_nodes, cfg.interleave_shards)
+    return (perm[np.asarray(events[0], np.int64)],
+            perm[np.asarray(events[1], np.int64)]) + tuple(events[2:])
+
+
 def _arena_capacity(n_events: int) -> int:
     """Bucketed adjacency-arena capacity (2·E, both directions, rounded up to
     the bucket) — ONE static shape across incremental folds, so observe()'s
@@ -122,15 +136,12 @@ class LinkPredictor:
             self._id_perm = interleave_permutation(
                 cfg.n_nodes, cfg.interleave_shards
             )
+        if events is not None and not internal_ids:
+            events = _events_to_internal(cfg, events)
         self._events = (
             tuple(np.asarray(c).copy() for c in events)
             if events is not None else None
         )
-        if self._events is not None and self._id_perm is not None \
-                and not internal_ids:
-            self._events = (
-                self._map_ids(self._events[0]), self._map_ids(self._events[1]),
-            ) + self._events[2:]
         self._pending: list = []
         self._pending_n = 0
         self.rebuild_every = max(1, rebuild_every)
@@ -233,16 +244,11 @@ class LinkPredictor:
             edge_feats = jnp.zeros((cfg.n_edges, cfg.edge_dim), jnp.float32)
         else:
             edge_feats = jnp.asarray(edge_feats, jnp.float32)
-        if events is not None and int(cfg.interleave_shards or 0) > 1:
-            # checkpoint trained with interleaved ids: the caller's event
-            # stream is external-id space — relabel once so the adjacency
-            # index and the stored base stream live internal (like every
-            # row of the restored memory/index state)
-            from zebra_tpu.parallel import interleave_permutation
-
-            perm = interleave_permutation(cfg.n_nodes, cfg.interleave_shards)
-            events = (perm[np.asarray(events[0], np.int64)],
-                      perm[np.asarray(events[1], np.int64)]) + tuple(events[2:])
+        # checkpoint trained with interleaved ids: the caller's event stream
+        # is external-id space — relabel once so the adjacency index and the
+        # stored base stream live internal (like every row of the restored
+        # memory/index state)
+        events = _events_to_internal(cfg, events)
         nbr_index = ()
         if cfg.needs_adjacency:
             if events is None:

@@ -206,6 +206,12 @@ class Trainer:
                 "scheduling (--no_interleave_node_ids to disable)",
                 n_shards_mesh,
             )
+        elif cfg.interleave_node_ids and n_shards_mesh <= 1:
+            logger.warning(
+                "--interleave_node_ids has no effect without a >1-device "
+                "mesh (the permutation exists to balance owner-aligned "
+                "lane blocks across shards); running with raw ids"
+            )
 
         # seed-parallel training: S independent runs (cfg.seed + s) advance
         # together, vmapped over a leading seed axis (run_phase_seeds); ONE
@@ -299,13 +305,18 @@ class Trainer:
 
         # adjacency indices: pruning queries and the recursive towers use the
         # train graph during training and the full graph during val/test
-        # (reference train.py:191, 245)
+        # (reference train.py:191, 245). Built from ``splits`` — the
+        # INTERNAL (possibly interleave-permuted) id space the streams
+        # query with — NOT the raw-id sampler_splits above.
         if cfg.needs_adjacency:
+            tr_i, fu_i = splits.train, splits.full
             self.train_nbr_index = build_neighbor_index(
-                tr.sources, tr.destinations, tr.timestamps, tr.edge_idxs, cfg.n_nodes
+                tr_i.sources, tr_i.destinations, tr_i.timestamps,
+                tr_i.edge_idxs, cfg.n_nodes,
             )
             self.full_nbr_index = build_neighbor_index(
-                fu.sources, fu.destinations, fu.timestamps, fu.edge_idxs, cfg.n_nodes
+                fu_i.sources, fu_i.destinations, fu_i.timestamps,
+                fu_i.edge_idxs, cfg.n_nodes,
             )
         else:
             self.train_nbr_index = self.full_nbr_index = ()
