@@ -320,6 +320,34 @@ def test_trainer_seed_parallel_resume_is_exact(tmp_path):
         )
 
 
+def test_trainer_seed_sharded_resume_is_exact(tmp_path):
+    """Epoch-boundary state resume under the seed-SHARDED mesh: the restore
+    path re-shards the stacked state on the seed axis and the resumed fit
+    finishes bit-identical to the uninterrupted sharded fit. Also covers
+    --parallel_lr × mesh (the injected-lr optimizer state rides the shard)."""
+    kw = dict(n_epoch=3, patience=5, state_every=2, n_devices=2,
+              parallel_lr=(3e-3, 8e-4))
+
+    full = _seed_trainer(tmp_path / "a", parallel_runs=2, **kw)
+    ref = full.fit()
+
+    half = _seed_trainer(tmp_path / "b", parallel_runs=2, **kw)
+    half.fit(n_epoch=2)
+    state_path = os.path.join(
+        half.cfg.checkpoint_dir, half.cfg.run_name() + ".state.ckpt"
+    )
+    assert os.path.exists(state_path)
+
+    resumed = _seed_trainer(tmp_path / "b", parallel_runs=2, **kw)
+    out = resumed.fit(resume_from=state_path)
+
+    for key in ("test_ap", "test_auc", "nn_test_ap", "nn_test_auc"):
+        np.testing.assert_allclose(
+            out["per_seed"][key], ref["per_seed"][key], rtol=0, atol=1e-6,
+            err_msg=key,
+        )
+
+
 def test_trainer_parallel_lr_sweep_matches_sequential(tmp_path):
     """--parallel_lr turns the seed axis into a one-pass lr sweep: lane s
     must reproduce a single-seed Trainer running cfg.seed + s at lr_s
