@@ -640,6 +640,10 @@ class Trainer:
         cfg = self.cfg
         if self._n_seeds == 1:
             return flush_pending_messages(cfg, self.params, _copy(self.mem))
+        if self._mesh is not None:
+            return _flush_mem_seeds_sharded(
+                cfg, self._mesh, self.params, _copy(self.mem)
+            )
         return _flush_mem_seeds(cfg, self.params, _copy(self.mem))
 
     def _upload_stream(self, data: Data, sampler):
@@ -1586,11 +1590,41 @@ def _fresh_epoch_state(cfg: Config, n_seeds: int = 1):
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("mem",))
 def _flush_mem_seeds(cfg: Config, params, mem):
-    """Per-seed train→eval flush, vmapped over the leading seed axis in ONE
-    top-level jit so the [S, ...] memory buffers donate cleanly."""
+    """Per-seed train→eval flush in ONE top-level jit so the [S, ...]
+    memory buffers donate cleanly. Sequential over seeds (``lax.map``), NOT
+    vmapped: the flush is dense over all N rows and upcasts the bf16
+    message table to f32 for the cell math — vmapped, those temporaries
+    materialize for ALL S seeds at once (S=8 at 1.14M nodes = ~11 GiB of
+    f32 scratch, an observed v5e OOM); mapped, the peak is one seed's. The
+    flush runs a handful of times per epoch, so the serialization is
+    free."""
     from zebra_tpu.train.step import flush_pending_impl
 
-    return jax.vmap(lambda p, m: flush_pending_impl(cfg, p, m))(params, mem)
+    return jax.lax.map(
+        lambda pm: flush_pending_impl(cfg, pm[0], pm[1]), (params, mem)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"),
+                   donate_argnames=("mem",))
+def _flush_mem_seeds_sharded(cfg: Config, mesh, params, mem):
+    """Seed-SHARDED flush: each device lax.maps over its own local seeds
+    (a plain lax.map over the sharded seed axis would reshard; a vmap
+    would re-create the all-seeds-at-once scratch OOM the sequential map
+    exists to avoid)."""
+    from jax.sharding import PartitionSpec as P
+
+    from zebra_tpu.train.step import flush_pending_impl
+
+    def body(p, m):
+        return jax.lax.map(
+            lambda pm: flush_pending_impl(cfg, pm[0], pm[1]), (p, m)
+        )
+
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=(P("data"), P("data")),
+        out_specs=P("data"), check_vma=False,
+    )(params, mem)
 
 
 def _stack_seed_trees(trees):
