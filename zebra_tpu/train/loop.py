@@ -579,12 +579,19 @@ class Trainer:
         the T-PPR state; streams/params are comparatively negligible."""
         cfg = self.cfg
         try:
-            stats = jax.devices()[0].memory_stats()
+            dev = jax.devices()[0]
+            stats = dev.memory_stats()
         except Exception:
-            stats = None
+            return
         limit = (stats or {}).get("bytes_limit")
         if not limit:
-            return  # CPU / backend without accounting
+            if dev.platform != "tpu":
+                return  # CPU / backend without accounting
+            # tunneled TPU backends report no memory_stats — fall back to
+            # the known per-chip HBM of the attached generation (v5e/v5p
+            # 16 GiB, v4 32, v6e 32; conservative default 16)
+            kind = (dev.device_kind or "").lower()
+            limit = (32 if ("v4" in kind or "v6" in kind) else 16) * 2**30
         n_dev = self._mesh.devices.size if self._mesh is not None else 1
         s_local = -(-self._n_seeds // n_dev)
         n_rows = cfg.n_nodes if self._n_seeds > 1 else (
@@ -601,14 +608,20 @@ class Trainer:
             # flat packed rows [N, M(4k+1)] f32, replicated under seed
             # sharding, row-sharded single-seed
             index = n_rows * cfg.n_tppr * (4 * cfg.topk + 1) * 4
-        # donation double-buffers the carried state across dispatches
-        est = 2 * tables + index
+        # the binding term is validate()'s backup/restore protocol, which
+        # holds THREE table copies at once (train-end backup + flushed
+        # working copy + the phase's donation partner; reference
+        # train.py:249-269 — measured: S=8 × 1.14M nodes trains at 0.47×
+        # but OOMs 16 GiB exactly here, RESULTS.md round 5); the index is
+        # backed up once alongside
+        est = 3 * tables + 2 * index
         if est > limit:
             raise ValueError(
                 f"node-table HBM budget exceeded: ~{est / 2**30:.1f} GiB "
                 f"estimated per device ({s_local} seed(s) × {n_rows} rows × "
-                f"{per_row} B + index, ×2 for donation double-buffering) vs "
-                f"{limit / 2**30:.1f} GiB HBM. Reduce --parallel_runs, "
+                f"{per_row} B, ×3 for the validate backup/restore protocol, "
+                f"+ index ×2) vs {limit / 2**30:.1f} GiB HBM — the val "
+                f"phase would die in the allocator. Reduce --parallel_runs, "
                 f"shard seeds over more devices (--n_devices), or shrink "
                 f"--memory_dim/--topk."
             )
@@ -1588,21 +1601,34 @@ def _fresh_epoch_state(cfg: Config, n_seeds: int = 1):
     return mem, index
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("mem",))
-def _flush_mem_seeds(cfg: Config, params, mem):
-    """Per-seed train→eval flush in ONE top-level jit so the [S, ...]
-    memory buffers donate cleanly. Sequential over seeds (``lax.map``), NOT
-    vmapped: the flush is dense over all N rows and upcasts the bf16
-    message table to f32 for the cell math — vmapped, those temporaries
-    materialize for ALL S seeds at once (S=8 at 1.14M nodes = ~11 GiB of
-    f32 scratch, an observed v5e OOM); mapped, the peak is one seed's. The
-    flush runs a handful of times per epoch, so the serialization is
-    free."""
+@functools.partial(jax.jit, static_argnames=("cfg",),
+                   donate_argnames=("mem",))
+def _flush_one_seed(cfg: Config, params_s, mem, s):
+    """Flush seed ``s``'s rows of the stacked [S, ...] tables in place
+    (donated buffer → a row-range update, no full-table copy)."""
     from zebra_tpu.train.step import flush_pending_impl
 
-    return jax.lax.map(
-        lambda pm: flush_pending_impl(cfg, pm[0], pm[1]), (params, mem)
-    )
+    m_s = jax.tree.map(lambda x: x[s], mem)
+    m_s = flush_pending_impl(cfg, params_s, m_s)
+    return jax.tree.map(lambda x, v: x.at[s].set(v), mem, m_s)
+
+
+def _flush_mem_seeds(cfg: Config, params, mem):
+    """Per-seed train→eval flush, one small jitted program dispatched S
+    times — NOT one big vmapped/scanned module: the flush is dense over all
+    N rows and upcasts the bf16 message table to f32 for the cell math.
+    Vmapped, those temporaries materialize for ALL S seeds at once (S=8 at
+    1.14M nodes ≈ 11 GiB of f32 scratch — observed v5e OOM); a single
+    lax.map program bounds the scratch but its whole-table loop crashed the
+    v5e remote-compile helper at the same scale. S dispatches of the
+    seed-sliced program compile once (``s`` is traced), peak one seed's
+    scratch, and cost S·~30 ms of dispatch on the tunnel — the flush runs a
+    handful of times per epoch."""
+    n_seeds = jax.tree.leaves(params)[0].shape[0]
+    for s in range(n_seeds):
+        p_s = _slice_seed(params, s)
+        mem = _flush_one_seed(cfg, p_s, mem, jnp.int32(s))
+    return mem
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh"),
