@@ -615,17 +615,24 @@ class Trainer:
         # but OOMs 16 GiB exactly here, RESULTS.md round 5); the index is
         # backed up once alongside
         est = 3 * tables + 2 * index
-        if est > limit:
+        # usable budget ≈ 0.8·HBM: the un-modeled residents (phase scan
+        # scratch, uploaded streams + query buffers, XLA temp fusions)
+        # measured ~2-3 GiB at Wiki-Talk scale — S=6×1.14M (est 13.2 GiB,
+        # 82% of 16) still OOMs validate on the v5e while S=4 (9.3 GiB,
+        # 58%) runs clean, so the 0.8 line separates the measured points
+        if est > 0.8 * limit:
             raise ValueError(
                 f"node-table HBM budget exceeded: ~{est / 2**30:.1f} GiB "
                 f"estimated per device ({s_local} seed(s) × {n_rows} rows × "
                 f"{per_row} B, ×3 for the validate backup/restore protocol, "
-                f"+ index ×2) vs {limit / 2**30:.1f} GiB HBM — the val "
-                f"phase would die in the allocator. Reduce --parallel_runs, "
-                f"shard seeds over more devices (--n_devices), or shrink "
-                f"--memory_dim/--topk."
+                f"+ index ×2) vs a usable ~{0.8 * limit / 2**30:.1f} GiB of "
+                f"{limit / 2**30:.1f} GiB HBM (the rest is scan scratch / "
+                f"stream buffers — measured margin, RESULTS.md round 5). "
+                f"The val phase would die in the allocator. Reduce "
+                f"--parallel_runs, shard seeds over more devices "
+                f"(--n_devices), or shrink --memory_dim/--topk."
             )
-        if est > 0.8 * limit:
+        if est > 0.6 * limit:
             logger.warning(
                 "node tables estimated at %.1f GiB of %.1f GiB device HBM "
                 "(%.0f%%) — close to the ceiling; expect allocator pressure",
