@@ -563,6 +563,55 @@ def test_trainer_seed_sharded_nonwave_branch(tmp_path, kw):
                                rtol=0, atol=5e-3, err_msg=str(kw))
 
 
+def test_hbm_budget_guard(monkeypatch):
+    """The construction-time HBM guard (loop._check_hbm_budget): the ×3
+    validate-protocol estimate against the 0.8·HBM usable line must
+    reproduce the measured v5e boundary (S=6 × 1.14M nodes rejected, S=4
+    accepted — RESULTS.md round 5), exercised on CPU by faking the device
+    accounting; and the generation fallback table must not confuse v5e
+    with v5p."""
+    import zebra_tpu.train.loop as L
+
+    class FakeDev:
+        platform = "tpu"
+        device_kind = "TPU v5 lite"
+
+        def memory_stats(self):
+            raise RuntimeError("UNIMPLEMENTED")  # raising backends too
+
+    monkeypatch.setattr(L.jax, "devices", lambda: [FakeDev()])
+
+    class Guard:
+        _mesh = None
+        _n_seeds = 1
+        _check_hbm_budget = L.Trainer._check_hbm_budget
+
+    from zebra_tpu.config import Config
+
+    g = Guard()
+    base = dict(node_dim=100, time_dim=100, memory_dim=100, topk=20,
+                alpha_list=(0.1, 0.1), beta_list=(0.05, 0.95),
+                tppr_strategy="streaming", n_nodes=1140096)
+    g._n_seeds = 6
+    g.cfg = Config(parallel_runs=6, **base)
+    with pytest.raises(ValueError, match="HBM budget exceeded"):
+        g._check_hbm_budget()
+    g._n_seeds = 4
+    g.cfg = Config(parallel_runs=4, **base)
+    g._check_hbm_budget()  # no raise
+
+    # generation fallbacks: v5p is NOT the 16 GiB of v5e
+    assert L._tpu_hbm_bytes("TPU v5 lite") == 16 * 2**30
+    assert L._tpu_hbm_bytes("TPU v5p") == 95 * 2**30
+    assert L._tpu_hbm_bytes("TPU v4") == 32 * 2**30
+    assert L._tpu_hbm_bytes(None) == 16 * 2**30
+    # on v5p the same S=6 config fits comfortably
+    FakeDev.device_kind = "TPU v5p"
+    g._n_seeds = 6
+    g.cfg = Config(parallel_runs=6, **base)
+    g._check_hbm_budget()  # no raise
+
+
 def test_trainer_seed_sharded_mesh_validation():
     with pytest.raises(ValueError, match="multiple of the mesh size"):
         _seed_trainer("/tmp/zebra_mesh_bad", parallel_runs=3, n_devices=2)

@@ -571,27 +571,28 @@ class Trainer:
         return jax.vmap(lambda k: jax.random.fold_in(k, ci))(rng)
 
     def _check_hbm_budget(self):
-        """Fail loudly (before any epoch) when the per-device node tables
-        cannot fit the accelerator's HBM — a seed-parallel run at large N
-        would otherwise die mid-epoch in an opaque allocator error. The
-        dominant residents are the flat [S_local·N, ·] memory/message
-        tables (double-buffered by donation during the scan hand-off) and
-        the T-PPR state; streams/params are comparatively negligible."""
+        """Fail loudly (before any epoch) when the run's per-device node
+        tables cannot fit the accelerator's HBM — it would otherwise die in
+        an opaque allocator error mid-protocol. The binding requirement is
+        validate(): its backup/restore holds THREE table copies at once
+        (see the ×3 below); streams/params are comparatively negligible
+        but un-modeled scratch eats ~20% of HBM (the 0.8 usable line)."""
         cfg = self.cfg
         try:
             dev = jax.devices()[0]
-            stats = dev.memory_stats()
         except Exception:
             return
+        try:
+            stats = dev.memory_stats()
+        except Exception:
+            stats = None  # backends that RAISE instead of returning None
         limit = (stats or {}).get("bytes_limit")
         if not limit:
             if dev.platform != "tpu":
                 return  # CPU / backend without accounting
             # tunneled TPU backends report no memory_stats — fall back to
-            # the known per-chip HBM of the attached generation (v5e/v5p
-            # 16 GiB, v4 32, v6e 32; conservative default 16)
-            kind = (dev.device_kind or "").lower()
-            limit = (32 if ("v4" in kind or "v6" in kind) else 16) * 2**30
+            # the known per-chip HBM of the attached generation
+            limit = _tpu_hbm_bytes(dev.device_kind)
         n_dev = self._mesh.devices.size if self._mesh is not None else 1
         s_local = -(-self._n_seeds // n_dev)
         n_rows = cfg.n_nodes if self._n_seeds > 1 else (
@@ -1560,6 +1561,28 @@ class Trainer:
         }
 
 
+def _tpu_hbm_bytes(device_kind: Optional[str]) -> int:
+    """Per-chip HBM by TPU generation, for backends that report no
+    memory_stats (the tunneled client returns None). Sources: public TPU
+    system docs — v2 8 GiB/core, v3 16/core, v4 32/chip, v5e 16, v5p 95,
+    v6e (Trillium) 32. device_kind strings look like 'TPU v5 lite',
+    'TPU v5p', 'TPU v4'. Unknown kinds use a conservative 16 GiB."""
+    kind = (device_kind or "").lower()
+    if "v5p" in kind:
+        return 95 * 2**30
+    if "v6" in kind:
+        return 32 * 2**30
+    if "v5" in kind:          # 'v5 lite' (v5e) and any other v5 spelling
+        return 16 * 2**30
+    if "v4" in kind:
+        return 32 * 2**30
+    if "v3" in kind:
+        return 16 * 2**30
+    if "v2" in kind:
+        return 8 * 2**30
+    return 16 * 2**30
+
+
 def _permute_splits(splits: DatasetSplits, perm: np.ndarray) -> DatasetSplits:
     """Relabel every split's node ids through ``perm`` (timestamps, edge
     ids, and labels are positional and unchanged). The model is
@@ -1641,18 +1664,27 @@ def _flush_mem_seeds(cfg: Config, params, mem):
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh"),
                    donate_argnames=("mem",))
 def _flush_mem_seeds_sharded(cfg: Config, mesh, params, mem):
-    """Seed-SHARDED flush: each device lax.maps over its own local seeds
-    (a plain lax.map over the sharded seed axis would reshard; a vmap
-    would re-create the all-seeds-at-once scratch OOM the sequential map
-    exists to avoid)."""
+    """Seed-SHARDED flush: each device flushes its own local seeds
+    sequentially inside one shard_map program (a plain lax.map over the
+    sharded seed axis would reshard; a vmap would re-create the
+    all-seeds-at-once scratch OOM — loop.py:_flush_mem_seeds). The local
+    loop is a statically unrolled slice/flush/update chain, NOT a lax.map:
+    the whole-table loop-carried module shape is what crashed the v5e
+    remote-compile helper at Wiki-Talk scale (RESULTS.md round 5); the
+    unrolled chain sequences per-seed flushes whose scratch XLA's buffer
+    allocator can reuse."""
     from jax.sharding import PartitionSpec as P
 
     from zebra_tpu.train.step import flush_pending_impl
 
     def body(p, m):
-        return jax.lax.map(
-            lambda pm: flush_pending_impl(cfg, pm[0], pm[1]), (p, m)
-        )
+        s_local = jax.tree.leaves(p)[0].shape[0]
+        for l in range(s_local):
+            p_l = jax.tree.map(lambda x: x[l], p)
+            m_l = jax.tree.map(lambda x: x[l], m)
+            m_l = flush_pending_impl(cfg, p_l, m_l)
+            m = jax.tree.map(lambda x, v: x.at[l].set(v), m, m_l)
+        return m
 
     return jax.shard_map(
         body, mesh=mesh, in_specs=(P("data"), P("data")),

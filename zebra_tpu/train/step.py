@@ -521,7 +521,11 @@ def flush_pending_impl(cfg: Config, params: TgnParams, mem: MemoryState) -> Memo
     """One-time train→eval flush of ALL pending messages (reference
     update_memory_in_test, memory_updater.py:46-57). Dense over N rows —
     runs a handful of times per epoch. Unjitted body: the seed-parallel
-    Trainer vmaps it inside its own top-level jit (loop._flush_mem_seeds)."""
+    Trainer wraps it per seed inside its own jitted programs
+    (loop._flush_one_seed / _flush_mem_seeds_sharded) — ONE seed at a
+    time, never vmapped over seeds: the dense bf16→f32 upcast scratch
+    materializes per mapped instance (~11 GiB at S=8 × 1.14M nodes, an
+    observed v5e OOM under vmap)."""
     msg, f = message_input(cfg, params, mem, None)  # dense, no gather
     upd = cell_apply(cfg, params, msg, mem.memory)
     return mem._replace(
