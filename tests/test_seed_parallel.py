@@ -563,6 +563,31 @@ def test_trainer_seed_sharded_nonwave_branch(tmp_path, kw):
                                rtol=0, atol=5e-3, err_msg=str(kw))
 
 
+@pytest.mark.parametrize("kw", [
+    {},                                     # single-seed
+    {"parallel_runs": 2},                   # seed-parallel
+    {"parallel_runs": 2, "n_devices": 2},   # seed-sharded mesh
+])
+def test_host_backup_matches_device_protocol(tmp_path, kw):
+    """--host_backup (val/test backups in host RAM + donating flush) is
+    bit-identical to the all-device protocol: the backup round trip is a
+    D2H/H2D identity and the flush math is unchanged."""
+    base = dict(n_epoch=2, patience=5, prng_impl="threefry2x32",
+                memory_dtype="float32", save_best=True, **kw)
+    dev = _seed_trainer(tmp_path / "dev", host_backup=False, **base)
+    host = _seed_trainer(tmp_path / "host", host_backup=True, **base)
+    assert host._host_backup and not dev._host_backup
+    r_dev = dev.fit()
+    r_host = host.fit()
+    keys = ("test_ap", "test_auc", "nn_test_ap", "nn_test_auc")
+    for k in keys:
+        np.testing.assert_array_equal(
+            np.asarray(r_host.get("per_seed", {}).get(k, r_host[k])),
+            np.asarray(r_dev.get("per_seed", {}).get(k, r_dev[k])),
+            err_msg=f"{k} {kw}",
+        )
+
+
 def test_hbm_budget_guard(monkeypatch):
     """The construction-time HBM guard (loop._check_hbm_budget): the ×3
     validate-protocol estimate against the 0.8·HBM usable line must
@@ -584,6 +609,7 @@ def test_hbm_budget_guard(monkeypatch):
     class Guard:
         _mesh = None
         _n_seeds = 1
+        _multiproc = False
         _check_hbm_budget = L.Trainer._check_hbm_budget
 
     from zebra_tpu.config import Config
@@ -592,13 +618,26 @@ def test_hbm_budget_guard(monkeypatch):
     base = dict(node_dim=100, time_dim=100, memory_dim=100, topk=20,
                 alpha_list=(0.1, 0.1), beta_list=(0.05, 0.95),
                 tppr_strategy="streaming", n_nodes=1140096)
+    # S=6: the 3-copy protocol busts the v5e budget (est 13.2 GiB > 0.8·16,
+    # the measured OOM) — with --no_host_backup it must raise...
     g._n_seeds = 6
+    g.cfg = Config(parallel_runs=6, host_backup=False, **base)
+    with pytest.raises(ValueError, match="HBM budget exceeded"):
+        g._check_hbm_budget()
+    # ...and in auto mode it resolves to host-resident backups instead
+    # (2 copies fit), raising the usable ceiling
     g.cfg = Config(parallel_runs=6, **base)
+    g._check_hbm_budget()
+    assert g._host_backup
+    # past even the 2-copy budget the raise is back
+    g._n_seeds = 10
+    g.cfg = Config(parallel_runs=10, **base)
     with pytest.raises(ValueError, match="HBM budget exceeded"):
         g._check_hbm_budget()
     g._n_seeds = 4
     g.cfg = Config(parallel_runs=4, **base)
-    g._check_hbm_budget()  # no raise
+    g._check_hbm_budget()  # no raise, no host backup needed
+    assert not g._host_backup
 
     # generation fallbacks: v5p is NOT the 16 GiB of v5e
     assert L._tpu_hbm_bytes("TPU v5 lite") == 16 * 2**30

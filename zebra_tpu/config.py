@@ -173,6 +173,23 @@ class Config:
                                      # so serving reconstructs the same
                                      # mapping; state-shaping (rows are
                                      # relabeled) — see STATE_FIELDS
+    host_backup: Optional[bool] = None
+                                     # keep the val/test protocol's
+                                     # memory-table backups (reference
+                                     # train.py:249-309's backup/restore
+                                     # dance) in HOST RAM instead of HBM:
+                                     # cuts the protocol's peak table
+                                     # residency from 3 copies to 2 at the
+                                     # cost of one D2H+H2D round trip of
+                                     # the tables per val/test leg
+                                     # (seconds on PCIe; slower on
+                                     # tunneled links). None = auto: on
+                                     # iff the 3-copy estimate busts the
+                                     # device HBM budget but the 2-copy
+                                     # one fits (loop._check_hbm_budget) —
+                                     # raises the one-chip seed ceiling at
+                                     # Wiki-Talk scale from S=4 to S=6.
+                                     # Numerically identical either way
     pallas_merge: bool = True        # fused Pallas kernel for the SANTA merge
                                      # (used when running on TPU; ~3x the
                                      # XLA merge)
@@ -458,6 +475,10 @@ class Config:
                        action="store_true", default=None)
         p.add_argument("--no_interleave_node_ids",
                        dest="interleave_node_ids", action="store_false")
+        p.add_argument("--host_backup", dest="host_backup",
+                       action="store_true", default=None)
+        p.add_argument("--no_host_backup", dest="host_backup",
+                       action="store_false")
         p.add_argument("--debug_nans", action="store_true")
         p.add_argument("--trace_dir", type=str, default=None)
         p.add_argument("--trace_epoch", type=int, default=1)

@@ -576,8 +576,19 @@ class Trainer:
         an opaque allocator error mid-protocol. The binding requirement is
         validate(): its backup/restore holds THREE table copies at once
         (see the ×3 below); streams/params are comparatively negligible
-        but un-modeled scratch eats ~20% of HBM (the 0.8 usable line)."""
+        but un-modeled scratch eats ~20% of HBM (the 0.8 usable line).
+
+        Also resolves ``cfg.host_backup``'s auto mode (``self._host_backup``):
+        when the 3-copy protocol busts the budget but a 2-copy one fits,
+        the val/test backups move to host RAM instead of failing."""
         cfg = self.cfg
+        self._host_backup = bool(cfg.host_backup)
+        if self._host_backup and self._multiproc:
+            raise ValueError(
+                "--host_backup is not supported under multi-process "
+                "execution (the backup device_get needs fully-addressable "
+                "arrays); shard over fewer hosts or run without it"
+            )
         try:
             dev = jax.devices()[0]
         except Exception:
@@ -615,23 +626,39 @@ class Trainer:
         # train.py:249-269 — measured: S=8 × 1.14M nodes trains at 0.47×
         # but OOMs 16 GiB exactly here, RESULTS.md round 5); the index is
         # backed up once alongside
-        est = 3 * tables + 2 * index
         # usable budget ≈ 0.8·HBM: the un-modeled residents (phase scan
         # scratch, uploaded streams + query buffers, XLA temp fusions)
         # measured ~2-3 GiB at Wiki-Talk scale — S=6×1.14M (est 13.2 GiB,
         # 82% of 16) still OOMs validate on the v5e while S=4 (9.3 GiB,
         # 58%) runs clean, so the 0.8 line separates the measured points
-        if est > 0.8 * limit:
+        est3 = 3 * tables + 2 * index
+        est2 = 2 * tables + 2 * index  # host-resident backups
+        usable = 0.8 * limit
+        if (cfg.host_backup is None and not self._host_backup
+                and not self._multiproc
+                and est3 > usable >= est2):
+            self._host_backup = True
+            logger.info(
+                "val/test table backups will live in host RAM "
+                "(--host_backup auto: the 3-copy protocol needs "
+                "~%.1f GiB of the usable ~%.1f GiB HBM, 2 copies fit; "
+                "--no_host_backup forces the all-device protocol)",
+                est3 / 2**30, usable / 2**30,
+            )
+        est = est2 if self._host_backup else est3
+        if est > usable:
+            copies = 2 if self._host_backup else 3
             raise ValueError(
                 f"node-table HBM budget exceeded: ~{est / 2**30:.1f} GiB "
                 f"estimated per device ({s_local} seed(s) × {n_rows} rows × "
-                f"{per_row} B, ×3 for the validate backup/restore protocol, "
-                f"+ index ×2) vs a usable ~{0.8 * limit / 2**30:.1f} GiB of "
-                f"{limit / 2**30:.1f} GiB HBM (the rest is scan scratch / "
-                f"stream buffers — measured margin, RESULTS.md round 5). "
-                f"The val phase would die in the allocator. Reduce "
-                f"--parallel_runs, shard seeds over more devices "
-                f"(--n_devices), or shrink --memory_dim/--topk."
+                f"{per_row} B, ×{copies} for the val/test backup/restore "
+                f"protocol, + index ×2) vs a usable "
+                f"~{usable / 2**30:.1f} GiB of {limit / 2**30:.1f} GiB HBM "
+                f"(the rest is scan scratch / stream buffers — measured "
+                f"margin, RESULTS.md round 5). The val phase would die in "
+                f"the allocator. Reduce --parallel_runs, shard seeds over "
+                f"more devices (--n_devices), or shrink "
+                f"--memory_dim/--topk."
             )
         if est > 0.6 * limit:
             logger.warning(
@@ -655,17 +682,35 @@ class Trainer:
             return self._to_dev(negs)
         return self._to_dev(np.ascontiguousarray(negs.T))
 
-    def _flush_mem(self):
+    def _flush_mem(self, donate: bool = False):
         """Train→eval flush of all pending messages; per seed when
-        seed-parallel (reference update_memory_in_test)."""
+        seed-parallel (reference update_memory_in_test). ``donate=True``
+        consumes ``self.mem``'s buffers instead of copying — used by the
+        host-backup protocol, where the pre-flush state already lives in
+        host RAM and keeping a device copy would defeat the point."""
         cfg = self.cfg
+        mem = self.mem if donate else _copy(self.mem)
         if self._n_seeds == 1:
-            return flush_pending_messages(cfg, self.params, _copy(self.mem))
+            return flush_pending_messages(cfg, self.params, mem)
         if self._mesh is not None:
-            return _flush_mem_seeds_sharded(
-                cfg, self._mesh, self.params, _copy(self.mem)
-            )
-        return _flush_mem_seeds(cfg, self.params, _copy(self.mem))
+            return _flush_mem_seeds_sharded(cfg, self._mesh, self.params, mem)
+        return _flush_mem_seeds(cfg, self.params, mem)
+
+    def _mem_to_host(self):
+        """D2H snapshot of the memory tables (the host-backup protocol's
+        backup copy). Blocking; numpy pytree."""
+        return jax.tree.map(np.asarray, self.mem)
+
+    def _mem_from_host(self, host_mem):
+        """Upload a host memory snapshot back to its training sharding."""
+        mem = jax.tree.map(self._to_dev, host_mem)
+        if self._mesh is None:
+            return mem
+        from zebra_tpu.parallel import shard_memory, shard_seed_trees
+
+        if self._n_seeds > 1:
+            return shard_seed_trees(mem, self._mesh)
+        return shard_memory(mem, self._mesh)
 
     def _upload_stream(self, data: Data, sampler):
         """Pad a chronological stream to whole batches — and to equal-size
@@ -1121,11 +1166,20 @@ class Trainer:
         (reference train.py:249-269). Leaves (mem, index) at the val-end
         state so test can continue from it."""
         cfg = self.cfg
-        train_mem = self.mem  # backup precedes the flush, like the reference
         train_idx = self.index_state
-
-        # one-time train→eval flush (reference tgn_model.py:143-146)
-        self.mem = self._flush_mem()
+        if self._host_backup:
+            # host-backup protocol (--host_backup / auto): the train-end
+            # backup lives in host RAM and the flush DONATES the device
+            # buffers — peak device residency drops from 3 table copies to
+            # 2, which is what raises the one-chip seed ceiling at large
+            # S·N (RESULTS.md round 5). One D2H+H2D round trip per
+            # validate; numerically identical (tested)
+            train_mem_h = self._mem_to_host()
+            self.mem = self._flush_mem(donate=True)
+        else:
+            train_mem = self.mem  # backup precedes the flush (reference)
+            # one-time train→eval flush (reference tgn_model.py:143-146)
+            self.mem = self._flush_mem()
 
         self.index_state, trans = self._phase(
             "val", False, _copy(train_idx), self.full_nbr_index,
@@ -1135,7 +1189,8 @@ class Trainer:
 
         # inductive val from the (unflushed) train-end state, with the val
         # sampler's seed (reference train.py:261-266)
-        self.mem = _copy(train_mem)
+        self.mem = (self._mem_from_host(train_mem_h) if self._host_backup
+                    else _copy(train_mem))
         _, induct = self._phase(
             "nn_val", False, _copy(train_idx), self.full_nbr_index,
             self._eval_rng(SEED_VAL),
@@ -1147,8 +1202,22 @@ class Trainer:
     def test(self) -> Tuple[PhaseResult, PhaseResult]:
         """Transductive + inductive test from the val-end state (reference
         train.py:294-309)."""
-        val_mem, val_idx = self.mem, self.index_state
+        val_idx = self.index_state
+        if self._host_backup:
+            # val-end backup in host RAM; leg 1 donates the device tables
+            val_mem_h = self._mem_to_host()
+            self.index_state, trans = self._phase(
+                "test", False, _copy(val_idx), self.full_nbr_index,
+                self._eval_rng(SEED_TEST),
+            )
+            self.mem = self._mem_from_host(val_mem_h)
+            _, induct = self._phase(
+                "nn_test", False, _copy(val_idx), self.full_nbr_index,
+                self._eval_rng(SEED_NN_TEST),
+            )
+            return trans, induct
 
+        val_mem = self.mem
         self.mem = _copy(val_mem)  # run_phase donates self.mem
         self.index_state, trans = self._phase(
             "test", False, _copy(val_idx), self.full_nbr_index,
